@@ -1,0 +1,36 @@
+"""petal_neighbors_tpu — a TPU-native exact nearest-neighbor engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+``petal-neighbors`` Rust crate (ball tree + vantage-point tree + distance
+metrics, reference at /root/reference): all distance evaluation collapses
+onto tiled ``‖q‖²+‖x‖²−2q·xᵀ`` MXU matmuls, indexes are flat SoA arrays
+built level-synchronously, queries run as batched lockstep traversals, and
+datasets larger than one chip scale over a ``jax.sharding.Mesh``.
+
+Public surface (crate-root parity, lib.rs:1-16):
+  * ``BallTree``, ``VantagePointTree`` — metric-tree indexes
+  * ``distance`` module — ``Metric``, ``Euclidean``, ``Cosine``, ``pairwise``
+  * ``ArrayError`` (+ ``EmptyArrayError``, ``NotContiguousError``)
+plus TPU-native extensions: ``BruteForce``, batched queries, sharded
+multi-chip search (``petal_neighbors_tpu.parallel``).
+"""
+
+from . import distance
+from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
+from .errors import ArrayError, EmptyArrayError, NotContiguousError
+from .trees import BruteForce
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "distance",
+    "Metric",
+    "Euclidean",
+    "Cosine",
+    "Minkowski",
+    "pairwise",
+    "ArrayError",
+    "EmptyArrayError",
+    "NotContiguousError",
+    "BruteForce",
+]

@@ -1,0 +1,263 @@
+"""Distance metrics (parity with the reference ``src/distance.rs``).
+
+The reference defines a 4-method ``Metric`` trait (distance.rs:9-14):
+``distance``, ``rdistance`` (a cheaper monotone surrogate — squared
+distance for Euclidean), and the two conversions between them.  The trees
+prune in the *distance* domain, but the rdistance duality maps directly to
+the TPU's preferred compute shape: the reduced squared distance is one
+``‖q‖² + ‖x‖² − 2·q·xᵀ`` MXU matmul; the sqrt happens only at output
+boundaries.
+
+Each metric therefore exposes two API tiers:
+
+* **pair tier** (reference trait parity): ``distance(x1, x2)`` /
+  ``rdistance`` / ``rdistance_to_distance`` / ``distance_to_rdistance``
+  on 1-D vectors;
+* **batch tier** (the TPU path): ``rdist(Q, X) -> (q, n)`` reduced
+  distances via matmul, ``rowwise_rdist(X, Y) -> (n,)``, plus the same
+  conversions applied elementwise.
+
+``pairwise(x, metric)`` replicates distance.rs:58-74: an (n, n) symmetric
+matrix with a zero diagonal, zeros for n < 2.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Metric",
+    "Euclidean",
+    "Cosine",
+    "Minkowski",
+    "pairwise",
+    "get_metric",
+    "MATMUL_PRECISION",
+]
+
+# Exactness is the product: keep f32 matmuls in true f32 on the MXU
+# (pass-count 6 / HIGHEST) rather than bf16x3.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+class Metric(abc.ABC):
+    """Distance-metric interface (reference trait: distance.rs:9-14)."""
+
+    name: str = "metric"
+
+    # -- pair tier (1-D vectors), reference trait parity ------------------
+    @abc.abstractmethod
+    def distance(self, x1, x2):
+        ...
+
+    @abc.abstractmethod
+    def rdistance(self, x1, x2):
+        ...
+
+    @abc.abstractmethod
+    def rdistance_to_distance(self, rd):
+        ...
+
+    @abc.abstractmethod
+    def distance_to_rdistance(self, d):
+        ...
+
+    # -- batch tier (TPU path) --------------------------------------------
+    @abc.abstractmethod
+    def rdist(self, q, x):
+        """Reduced distances between rows of ``q`` (m, d) and ``x`` (n, d),
+        returned as an (m, n) matrix."""
+
+    def dist(self, q, x):
+        return self.rdistance_to_distance(self.rdist(q, x))
+
+    @abc.abstractmethod
+    def rowwise_rdist(self, x, y):
+        """Reduced distance between matched rows of ``x`` and ``y`` -> (n,)."""
+
+    def rowwise_dist(self, x, y):
+        return self.rdistance_to_distance(self.rowwise_rdist(x, y))
+
+    # Metrics compare equal per class, like the reference's unit structs
+    # (``#[derive(Eq, PartialEq)]``, distance.rs:16, :76).
+    def __eq__(self, other):
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self):
+        return hash((type(self), tuple(sorted(self.__dict__.items()))))
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
+
+
+class Euclidean(Metric):
+    """Euclidean metric (distance.rs:16-55).
+
+    ``rdistance`` is the squared distance (no sqrt, distance.rs:37-45);
+    the batched path computes it as ``‖q‖² + ‖x‖² − 2 q·xᵀ`` on the MXU
+    and clamps tiny negative rounding residue to zero.
+    """
+
+    name = "euclidean"
+
+    def distance(self, x1, x2):
+        d = jnp.asarray(x1) - jnp.asarray(x2)
+        return jnp.sqrt(jnp.sum(d * d))
+
+    def rdistance(self, x1, x2):
+        d = jnp.asarray(x1) - jnp.asarray(x2)
+        return jnp.sum(d * d)
+
+    def rdistance_to_distance(self, rd):
+        return jnp.sqrt(rd)
+
+    def distance_to_rdistance(self, d):
+        return jnp.square(d)
+
+    def rdist(self, q, x):
+        q = jnp.asarray(q)
+        x = jnp.asarray(x)
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)          # (m, 1)
+        xn = jnp.sum(x * x, axis=-1)                          # (n,)
+        cross = jnp.dot(q, x.T, precision=MATMUL_PRECISION)   # (m, n) MXU
+        return jnp.maximum(qn + xn[None, :] - 2.0 * cross, 0.0)
+
+    def rdist_with_norms(self, q, x, qn, xn):
+        """rdist when ‖·‖² terms are precomputed (index-resident norms)."""
+        cross = jnp.dot(q, x.T, precision=MATMUL_PRECISION)
+        return jnp.maximum(qn[:, None] + xn[None, :] - 2.0 * cross, 0.0)
+
+    def rowwise_rdist(self, x, y):
+        d = jnp.asarray(x) - jnp.asarray(y)
+        return jnp.sum(d * d, axis=-1)
+
+
+class Cosine(Metric):
+    """Cosine distance, ``1 − dot/(‖x1‖·‖x2‖)`` (distance.rs:76-122).
+
+    ``rdistance`` is identical to ``distance`` and both conversions are the
+    identity (distance.rs:110-121).  Zero-norm rows produce NaN, exactly as
+    the reference's division does; the top-k layer's NaN policy (NaN sorts
+    as farthest, CHANGELOG.md:111-115) then applies.
+    """
+
+    name = "cosine"
+
+    def distance(self, x1, x2):
+        x1 = jnp.asarray(x1)
+        x2 = jnp.asarray(x2)
+        dot = jnp.sum(x1 * x2)
+        n1 = jnp.sqrt(jnp.sum(x1 * x1))
+        n2 = jnp.sqrt(jnp.sum(x2 * x2))
+        return 1.0 - dot / (n1 * n2)
+
+    def rdistance(self, x1, x2):
+        return self.distance(x1, x2)
+
+    def rdistance_to_distance(self, rd):
+        return rd
+
+    def distance_to_rdistance(self, d):
+        return d
+
+    def rdist(self, q, x):
+        q = jnp.asarray(q)
+        x = jnp.asarray(x)
+        dot = jnp.dot(q, x.T, precision=MATMUL_PRECISION)
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))[:, None]
+        xn = jnp.sqrt(jnp.sum(x * x, axis=-1))[None, :]
+        return 1.0 - dot / (qn * xn)
+
+    def rowwise_rdist(self, x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        dot = jnp.sum(x * y, axis=-1)
+        nx = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        ny = jnp.sqrt(jnp.sum(y * y, axis=-1))
+        return 1.0 - dot / (nx * ny)
+
+
+class Minkowski(Metric):
+    """Minkowski L_p metric (extension beyond the reference; BASELINE.md
+    config #5 exercises the generic metric path at high dimension).
+
+    ``rdistance`` is the p-th-power sum (monotone surrogate, analogous to
+    the Euclidean squared distance).
+    """
+
+    name = "minkowski"
+
+    def __init__(self, p: float = 2.0):
+        if not p >= 1.0:
+            raise ValueError("Minkowski requires p >= 1")
+        self.p = float(p)
+
+    def distance(self, x1, x2):
+        return self.rdistance(x1, x2) ** (1.0 / self.p)
+
+    def rdistance(self, x1, x2):
+        d = jnp.abs(jnp.asarray(x1) - jnp.asarray(x2))
+        return jnp.sum(d ** self.p)
+
+    def rdistance_to_distance(self, rd):
+        return rd ** (1.0 / self.p)
+
+    def distance_to_rdistance(self, d):
+        return d ** self.p
+
+    def rdist(self, q, x):
+        q = jnp.asarray(q)
+        x = jnp.asarray(x)
+        d = jnp.abs(q[:, None, :] - x[None, :, :])
+        return jnp.sum(d ** self.p, axis=-1)
+
+    def rowwise_rdist(self, x, y):
+        d = jnp.abs(jnp.asarray(x) - jnp.asarray(y))
+        return jnp.sum(d ** self.p, axis=-1)
+
+    def __repr__(self):
+        return f"Minkowski(p={self.p})"
+
+
+def pairwise(x, metric: Metric | None = None):
+    """Symmetric (n, n) distance matrix (distance.rs:58-74).
+
+    The reference computes the strict upper triangle and mirrors it,
+    leaving the diagonal zero; n < 2 returns all zeros.  Here the whole
+    matrix comes from one MXU matmul and is then exactly symmetrized the
+    same way (upper triangle mirrored) so ``D[i,j] == D[j,i]`` bit-for-bit
+    and ``D[i,i] == 0``.
+    """
+    metric = metric or Euclidean()
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if n < 2:
+        return jnp.zeros((n, n), dtype=x.dtype)
+    d = metric.rdistance_to_distance(metric.rdist(x, x))
+    upper = jnp.triu(d, k=1)
+    return upper + upper.T
+
+
+_REGISTRY = {
+    "euclidean": Euclidean,
+    "sqeuclidean": Euclidean,  # rdistance domain of Euclidean
+    "cosine": Cosine,
+    "minkowski": Minkowski,
+}
+
+
+def get_metric(name_or_metric, **kwargs) -> Metric:
+    """Resolve a metric by instance or registry name."""
+    if isinstance(name_or_metric, Metric):
+        return name_or_metric
+    try:
+        cls = _REGISTRY[str(name_or_metric).lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown metric {name_or_metric!r}; known: {sorted(_REGISTRY)}"
+        ) from None
+    return cls(**kwargs)

@@ -1,0 +1,160 @@
+"""Exact brute-force k-NN / radius search — the L0 end-to-end slice.
+
+This is the TPU-native collapse of the reference's per-pair scalar loops
+(distance.rs:26-35, ball_tree.rs:873-894 oracle): all distance evaluation
+becomes a tiled ``‖q‖² + ‖x‖² − 2 q·xᵀ`` MXU matmul, streamed over point
+chunks with a running top-k so the full (Q, N) distance matrix never
+materializes in HBM (SIFT-1M x 10k queries would be 40 GB).
+
+It is simultaneously:
+* the exact-search fast path for high-dim workloads (BASELINE config #3),
+* the oracle every tree index is tested against (recall@k == 1.0).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..distance import Euclidean, Metric
+from .topk import merge_topk, nan_to_inf, smallest_k
+
+__all__ = ["knn", "radius_mask", "radius_counts", "compact_mask"]
+
+
+def _pick_chunk(n: int, q: int, dim: int, chunk: int | None) -> int:
+    if chunk is not None:
+        return max(1, min(chunk, n))
+    # Aim for ~64 MB of distance tile per step (f32), power-of-two sized.
+    target = max(1, (64 << 20) // max(4 * q, 1))
+    c = 1 << min(int(math.log2(target)) if target > 1 else 0, 20)
+    return max(128, min(c, n))
+
+
+def knn(points, queries, k: int, metric: Metric | None = None,
+        *, chunk: int | None = None, point_norms=None):
+    """Exact k nearest neighbors of ``queries`` (Q, d) among ``points`` (n, d).
+
+    Returns ``(distances, indices)`` with shape (Q, k_eff), sorted
+    ascending, ``k_eff = min(k, n)``; ``k == 0`` gives empty arrays
+    (reference contract, ball_tree.rs:106-108; k > n returns n results).
+    NaN distances sort as +inf (CHANGELOG.md:111-115).
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n, dim = points.shape
+    q = queries.shape[0]
+    k_eff = min(int(k), n)
+    if k_eff == 0:
+        return (jnp.zeros((q, 0), dtype=points.dtype),
+                jnp.zeros((q, 0), dtype=jnp.int32))
+
+    c = _pick_chunk(n, q, dim, chunk)
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+    if n_pad != n:
+        points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+    chunks = points.reshape(n_chunks, c, dim)
+
+    use_norms = isinstance(metric, Euclidean)
+    if use_norms:
+        qn = jnp.sum(queries * queries, axis=-1)
+        if point_norms is not None and n_pad == n:
+            xn = point_norms
+        else:
+            xn = jnp.sum(points * points, axis=-1)
+        xn_chunks = xn.reshape(n_chunks, c)
+    else:
+        xn_chunks = jnp.zeros((n_chunks, c), dtype=points.dtype)
+
+    col = jnp.arange(c, dtype=jnp.int32)
+
+    def body(carry, chunk_in):
+        best_d, best_i = carry
+        pts, xn_c, base = chunk_in
+        if use_norms:
+            rd = metric.rdist_with_norms(queries, pts, qn, xn_c)
+        else:
+            rd = metric.rdist(queries, pts)
+        ids = base + col
+        rd = jnp.where(ids[None, :] < n, nan_to_inf(rd), jnp.inf)
+        # New candidates go first so a real point at +inf (NaN coords sort
+        # farthest, CHANGELOG.md:111-115) beats the -1/inf init sentinel
+        # on the positional tie-break.
+        best_d, best_i = merge_topk(
+            rd, jnp.broadcast_to(ids[None, :], rd.shape),
+            best_d, best_i, k_eff)
+        return (best_d, best_i), None
+
+    init = (jnp.full((q, k_eff), jnp.inf, dtype=points.dtype),
+            jnp.full((q, k_eff), -1, dtype=jnp.int32))
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * c)
+    (best_rd, best_i), _ = jax.lax.scan(body, init, (chunks, xn_chunks, bases))
+    return metric.rdistance_to_distance(best_rd), best_i
+
+
+def radius_mask(points, queries, radius, metric: Metric | None = None,
+                *, inclusive: bool = True, chunk: int | None = None):
+    """Boolean membership mask (Q, n): distance-to-query within ``radius``.
+
+    ``inclusive=True`` uses ``d <= r``. The reference's single-query leaf
+    filter is strict ``d < r`` while its whole-subtree take is ``ub <= r``
+    (ball_tree.rs:271-277); the tree layer reproduces that exact boundary
+    behavior — this brute-force op exposes both so callers can choose.
+    NaN distances never match (NaN -> +inf).
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n, dim = points.shape
+    q = queries.shape[0]
+    rr = metric.distance_to_rdistance(jnp.asarray(radius, dtype=points.dtype))
+
+    c = _pick_chunk(n, q, dim, chunk)
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+    if n_pad != n:
+        points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+    chunks = points.reshape(n_chunks, c, dim)
+    col = jnp.arange(c, dtype=jnp.int32)
+
+    def body(_, chunk_in):
+        pts, base = chunk_in
+        rd = nan_to_inf(metric.rdist(queries, pts))
+        m = (rd <= rr) if inclusive else (rd < rr)
+        m = m & ((base + col)[None, :] < n)
+        return None, m
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
+    _, masks = jax.lax.scan(body, None, (chunks, bases))
+    # (n_chunks, q, c) -> (q, n)
+    return jnp.moveaxis(masks, 0, 1).reshape(q, n_pad)[:, :n]
+
+
+def radius_counts(mask):
+    """Per-query neighbor counts from a membership mask."""
+    return jnp.sum(mask, axis=-1).astype(jnp.int32)
+
+
+def compact_mask(mask, cap: int):
+    """Compact a (Q, n) boolean mask into (indices (Q, cap), counts (Q,)).
+
+    The first ``cap`` member indices per query, ascending; padding is -1.
+    This is the masked-segment-output scheme for variable-length results
+    under XLA static shapes (SURVEY.md §7 "hard parts").
+    """
+    q, n = mask.shape
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # top_k of (-pos) picks smallest positions first; masked-out entries get
+    # -(n+1) which loses to every real position.
+    vals, _ = jax.lax.top_k(jnp.where(mask, -pos, -(n + 1)), min(cap, n))
+    idx = -vals
+    counts = radius_counts(mask)
+    valid = jnp.arange(idx.shape[-1], dtype=jnp.int32)[None, :] < counts[:, None]
+    idx = jnp.where(valid, idx, -1)
+    if cap > n:
+        idx = jnp.pad(idx, ((0, 0), (0, cap - n)), constant_values=-1)
+    return idx, counts

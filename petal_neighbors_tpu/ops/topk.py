@@ -1,0 +1,48 @@
+"""Top-k primitives with the reference's NaN/total-order policy.
+
+The reference gets a total order from ``OrderedFloat`` (NaN sorts greater
+than every number, CHANGELOG.md:111-115), so a NaN-coordinate point is
+"farther than everything" instead of poisoning comparisons.  Here the same
+policy is a single ``where(isnan, +inf)`` applied before ``lax.top_k``.
+
+All functions operate on the **last axis** and return results sorted
+ascending by distance (the reference's ``query`` contract,
+ball_tree.rs:117-120).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nan_to_inf", "smallest_k", "merge_topk"]
+
+
+def nan_to_inf(d):
+    """Map NaN distances to +inf (OrderedFloat NaN-is-greatest policy)."""
+    return jnp.where(jnp.isnan(d), jnp.inf, d)
+
+
+def smallest_k(dists, indices, k: int):
+    """Smallest-``k`` (values ascending) along the last axis.
+
+    ``indices`` carries the payload (original point ids) selected alongside.
+    Ties are broken toward the earlier position, which is deterministic
+    (the reference's heap tie order is arbitrary; only distances are part
+    of its contract, ball_tree.rs:396-421).
+    """
+    d = nan_to_inf(dists)
+    if d.shape[-1] < k:  # fewer candidates than k: pad with +inf / -1
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, k - d.shape[-1])]
+        d = jnp.pad(d, pad, constant_values=jnp.inf)
+        indices = jnp.pad(indices, pad, constant_values=-1)
+    neg_vals, pos = jax.lax.top_k(-d, k)
+    sel = jnp.take_along_axis(indices, pos, axis=-1)
+    return -neg_vals, sel
+
+
+def merge_topk(d1, i1, d2, i2, k: int):
+    """Merge two ascending top-k lists into one ascending top-k list."""
+    d = jnp.concatenate([d1, d2], axis=-1)
+    i = jnp.concatenate([i1, i2], axis=-1)
+    return smallest_k(d, i, k)

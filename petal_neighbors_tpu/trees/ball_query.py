@@ -1,0 +1,210 @@
+"""Batched ball-tree query kernels (JAX).
+
+The reference's pointer-chasing branch-and-bound with a binary heap
+(ball_tree.rs:149-294) becomes two lockstep, fixed-shape batched schemes:
+
+* **k-NN / 1-NN** — *best-first chunked leaf scan*: one MXU matmul
+  computes every query's lower bound to every leaf ball; leaves are
+  processed per query in ascending-lower-bound order, a static chunk at a
+  time, merging into a running top-k; the loop stops when every query's
+  next lower bound exceeds its current k-th distance.  Exact by the same
+  hypersphere-bound argument as the reference (prune only when
+  lb > kth-best, ball_tree.rs:212-214); only the *visit order* differs,
+  which cannot change the result set.
+
+* **radius** — *mask algebra over the whole node table*: bounds for all
+  nodes in one matmul, the traversal-reachability recurrence evaluated
+  level-by-level (log n vectorized steps), then per-point membership =
+  "some reached ancestor was wholly inside" OR "leaf scanned AND d < r".
+  This reproduces the reference's exact boundary semantics: whole-subtree
+  take is inclusive ``ub <= r`` while the leaf filter is strict ``d < r``
+  (ball_tree.rs:271-277).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..distance import Euclidean, Metric
+from ..ops.topk import merge_topk, nan_to_inf
+from ..utils.tree_math import TreeShape
+
+__all__ = ["knn_query", "radius_query_mask"]
+
+
+def _bound_slack(dtype) -> float:
+    """Relative slack subtracted from lower bounds so floating-point
+    rounding in the matmul path can never cause a false prune."""
+    return 4e-6 if np.dtype(dtype) == np.float32 else 1e-13
+
+
+def _leaf_tables(shape: TreeShape):
+    """Static leaf geometry (+1 sentinel row for chunk padding)."""
+    lo = shape.n_leaves - 1
+    starts = shape.range_start[lo:]
+    counts = shape.range_end[lo:] - starts
+    starts = np.concatenate([starts, [0]]).astype(np.int32)
+    counts = np.concatenate([counts, [0]]).astype(np.int32)
+    return starts, counts
+
+
+@partial(jax.jit, static_argnames=("k", "shape", "chunk_leaves", "metric"))
+def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
+              queries, *, k: int, shape: TreeShape, metric: Metric,
+              chunk_leaves: int = 8):
+    """Exact batched k-NN over a built ball tree.
+
+    Args:
+      points_perm: (n, d) points in tree (idx) order.
+      perm_norms: (n,) squared norms of points_perm (Euclidean) or None.
+      orig_ids: (n,) original point id at each permuted position.
+      leaf_centroids / leaf_radii: (L, d) / (L,) leaf-ball geometry.
+      queries: (Q, d).
+      k: static; caller guarantees 1 <= k <= n.
+
+    Returns (distances, indices): (Q, k) ascending, exact.
+    """
+    n, dim = points_perm.shape
+    q = queries.shape[0]
+    L = shape.n_leaves
+    max_leaf = shape.max_leaf_points
+    dtype = points_perm.dtype
+
+    # --- Phase 1: bounds to every leaf ball, one MXU matmul --------------
+    d_c = metric.rdistance_to_distance(metric.rdist(queries, leaf_centroids))
+    d_c = nan_to_inf(d_c)                                   # (Q, L)
+    lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)
+    lb = jnp.maximum(lb - _bound_slack(dtype) * (d_c + leaf_radii[None, :]), 0.0)
+
+    order = jnp.argsort(lb, axis=1).astype(jnp.int32)       # (Q, L) best-first
+    lb_sorted = jnp.take_along_axis(lb, order, axis=1)
+
+    # pad to whole chunks with the sentinel leaf (id L: start 0, count 0)
+    C = max(1, min(chunk_leaves, L))
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=L)
+        lb_sorted = jnp.pad(lb_sorted, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+
+    starts_np, counts_np = _leaf_tables(shape)
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
+
+    use_norms = isinstance(metric, Euclidean) and perm_norms is not None
+    if use_norms:
+        qn = jnp.sum(queries * queries, axis=-1)            # (Q,)
+
+    m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
+
+    def kth_dist(best_rd):
+        return metric.rdistance_to_distance(best_rd[:, -1])
+
+    def cond(state):
+        best_rd, _, ci = state
+        next_lb = jax.lax.dynamic_slice(lb_sorted, (0, ci * C), (q, 1))[:, 0]
+        return (ci < n_chunks) & jnp.any(next_lb <= kth_dist(best_rd))
+
+    def body(state):
+        best_rd, best_ii, ci = state
+        leaf_ids = jax.lax.dynamic_slice(order, (0, ci * C), (q, C))  # (Q,C)
+        s = leaf_start[leaf_ids]                                       # (Q,C)
+        cnt = leaf_count[leaf_ids]
+        pos = s[..., None] + m_ar[None, None, :]                       # (Q,C,M)
+        valid = m_ar[None, None, :] < cnt[..., None]
+        pos = jnp.where(valid, pos, 0)
+
+        pts = points_perm[pos]                                         # (Q,C,M,d)
+        if use_norms:
+            cross = jnp.einsum("qd,qcmd->qcm", queries, pts,
+                               precision=jax.lax.Precision.HIGHEST)
+            rd = jnp.maximum(
+                qn[:, None, None] + perm_norms[pos] - 2.0 * cross, 0.0)
+        else:
+            flat = pts.reshape(q, C * max_leaf, dim)
+            rd = jax.vmap(lambda qq, xx: metric.rdist(qq[None], xx)[0])(
+                queries, flat).reshape(q, C, max_leaf)
+        rd = jnp.where(valid, nan_to_inf(rd), jnp.inf).reshape(q, C * max_leaf)
+        ids = jnp.where(valid, orig_ids[pos], -1).reshape(q, C * max_leaf)
+
+        best_rd, best_ii = merge_topk(rd, ids, best_rd, best_ii, k)
+        return best_rd, best_ii, ci + 1
+
+    init = (jnp.full((q, k), jnp.inf, dtype=dtype),
+            jnp.full((q, k), -1, dtype=jnp.int32),
+            jnp.int32(0))
+    best_rd, best_ii, _ = jax.lax.while_loop(cond, body, init)
+    return metric.rdistance_to_distance(best_rd), best_ii
+
+
+@partial(jax.jit, static_argnames=("shape", "metric", "point_chunk"))
+def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
+                      queries, radius, *, shape: TreeShape, metric: Metric,
+                      point_chunk: int = 65536):
+    """Batched radius search returning a (Q, n) membership mask in
+    **original point-id order**, with the reference's exact boundary rules
+    (inclusive subtree take, strict leaf filter: ball_tree.rs:250-294).
+
+    ``orig_pos_of_id[j]`` = permuted position of original point j
+    (the inverse of the idx permutation).
+    """
+    n, dim = points_perm.shape
+    q = queries.shape[0]
+    dtype = points_perm.dtype
+    r = jnp.asarray(radius, dtype=dtype)
+
+    # bounds for ALL nodes at once
+    d_node = metric.rdistance_to_distance(metric.rdist(queries, centroids))
+    d_node = nan_to_inf(d_node)                              # (Q, N)
+    lb = jnp.maximum(d_node - radii[None, :], 0.0)
+    ub = d_node + radii[None, :]
+
+    # reachability: reached[child] = reached[parent] & lb_p <= r & ub_p > r
+    # (a traversal descends only through nodes it neither pruned nor took
+    #  wholesale, ball_tree.rs:264-286)
+    descend = (lb <= r) & (ub > r)
+    reached_lvl = [jnp.ones((q, 1), dtype=bool)]             # level 0: root
+    for level in range(1, shape.height):
+        lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+        parents = (np.arange(lo, hi) - 1) // 2               # static
+        reach_p = reached_lvl[level - 1][:, parents - ((1 << (level - 1)) - 1)]
+        reached_lvl.append(reach_p & descend[:, parents])
+    reached = jnp.concatenate(reached_lvl, axis=1)           # (Q, N)
+
+    take_all = reached & (ub <= r)                           # inclusive take
+    leaf_lo = shape.n_leaves - 1
+    scan_leaf = reached[:, leaf_lo:] & (lb[:, leaf_lo:] <= r) & (ub[:, leaf_lo:] > r)
+
+    # per-position flags: did any ancestor get taken wholesale?
+    take_pos = jnp.zeros((q, n), dtype=bool)
+    for level in range(shape.height):
+        node_of_pos = jnp.asarray(shape.node_of_pos[level])  # (n,) static
+        take_pos = take_pos | take_all[:, node_of_pos]
+    scan_pos = scan_leaf[:, jnp.asarray(shape.node_of_pos[shape.height - 1]) - leaf_lo]
+
+    # distances for scanned positions, streamed over point chunks
+    c = max(1, min(point_chunk, n))
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+    pp = jnp.pad(points_perm, ((0, n_pad - n), (0, 0))) if n_pad != n else points_perm
+    chunks = pp.reshape(n_chunks, c, dim)
+    rr = metric.distance_to_rdistance(r)
+    col = jnp.arange(c, dtype=jnp.int32)
+
+    def body(_, chunk_in):
+        pts, base = chunk_in
+        rdm = nan_to_inf(metric.rdist(queries, pts))
+        m = (rdm < rr) & ((base + col)[None, :] < n)         # strict (:277)
+        return None, m
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
+    _, masks = jax.lax.scan(body, None, (chunks, bases))
+    within = jnp.moveaxis(masks, 0, 1).reshape(q, n_pad)[:, :n]
+
+    member_perm = take_pos | (scan_pos & within)             # permuted order
+    return member_perm[:, orig_pos_of_id]                    # original order

@@ -1,0 +1,86 @@
+"""BruteForce: the flat exact index (no tree, pure MXU).
+
+Not present in the reference (which only ships tree indexes), but it is
+the reference's own test oracle promoted to a first-class index
+(ball_tree.rs:873-894 ``naive_k_nearest_neighbors``): at high dimension
+metric trees cannot prune and a tiled distance matmul is the
+speed-of-light exact search on TPU (BASELINE config #3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..distance import Euclidean, Metric, get_metric
+from ..ops import bruteforce as bf
+from ..utils.validation import check_points, check_query, check_query_batch
+
+__all__ = ["BruteForce"]
+
+
+class BruteForce:
+    """Exact k-NN index backed by streamed MXU distance tiles."""
+
+    def __init__(self, points, metric: Metric | str = "euclidean"):
+        self.metric = get_metric(metric)
+        self.points = check_points(points)
+        # Index-resident squared norms: half of the ||q||^2+||x||^2-2qx
+        # decomposition is paid once at build time.
+        if isinstance(self.metric, Euclidean):
+            self.point_norms = jnp.sum(self.points * self.points, axis=-1)
+        else:
+            self.point_norms = None
+
+    @classmethod
+    def euclidean(cls, points) -> "BruteForce":
+        return cls(points, Euclidean())
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    # -- single-query API (reference-shaped) ------------------------------
+    def query_nearest(self, point):
+        """(index, distance) of the nearest point (ball_tree.rs:80-87)."""
+        q = check_query(point, self.dim, self.points.dtype)
+        d, i = bf.knn(self.points, q[None, :], 1, self.metric,
+                      point_norms=self.point_norms)
+        return int(i[0, 0]), float(d[0, 0])
+
+    def query(self, point, k: int):
+        """(indices, distances), ascending; k=0 -> empty; k>n -> n results
+        (ball_tree.rs:102-121)."""
+        q = check_query(point, self.dim, self.points.dtype)
+        d, i = bf.knn(self.points, q[None, :], k, self.metric,
+                      point_norms=self.point_norms)
+        return np.asarray(i[0]), np.asarray(d[0])
+
+    def query_radius(self, point, distance):
+        """Indices with distance <= ``distance`` (ball_tree.rs:123-142).
+
+        The flat index has no subtree-take path, so the boundary rule is a
+        uniform inclusive ``d <= r`` (the reference's *documented*
+        contract, ball_tree.rs:123-124).
+        """
+        q = check_query(point, self.dim, self.points.dtype)
+        mask = bf.radius_mask(self.points, q[None, :], distance, self.metric)
+        return np.flatnonzero(np.asarray(mask[0])).astype(np.int32)
+
+    # -- batched API (the TPU path) ----------------------------------------
+    def query_batch(self, queries, k: int, *, chunk: int | None = None):
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        d, i = bf.knn(self.points, qs, k, self.metric, chunk=chunk,
+                      point_norms=self.point_norms)
+        return d, i
+
+    def query_radius_batch(self, queries, distance, *, cap: int | None = None):
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        mask = bf.radius_mask(self.points, qs, distance, self.metric)
+        if cap is None:
+            return mask
+        return bf.compact_mask(mask, cap)

@@ -1,0 +1,81 @@
+"""Input validation shared by every index constructor.
+
+Replicates the construction-time contract of the reference
+(ball_tree.rs:44-49, vantage_point_tree.rs:56-62):
+
+* empty input          -> ``EmptyArrayError``
+* non-row-contiguous   -> ``NotContiguousError`` (Fortran-order NumPy input)
+
+plus the dtype policy of the TPU engine: float32 / float64 compute (float64
+only where the backend supports it; integers are promoted to float32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..errors import EmptyArrayError, NotContiguousError
+
+__all__ = ["check_points", "check_query", "INT_DTYPE"]
+
+INT_DTYPE = jnp.int32
+
+_FLOAT_DTYPES = (np.float32, np.float64)
+
+
+def _as_float_dtype(dtype) -> np.dtype:
+    dtype = np.dtype(dtype)
+    if dtype in (np.dtype(np.float32), np.dtype(np.float64)):
+        return dtype
+    if dtype == np.dtype(np.float16) or dtype == np.dtype("bfloat16"):
+        return np.dtype(np.float32)
+    return np.dtype(np.float32)
+
+
+def check_points(points) -> jnp.ndarray:
+    """Validate and convert a (n, d) points matrix.
+
+    Raises ``EmptyArrayError`` for zero rows/cols and ``NotContiguousError``
+    for NumPy inputs whose rows are not contiguous (the reference's
+    standard-layout check, ball_tree.rs:47-49).
+    """
+    if isinstance(points, np.ndarray):
+        if points.ndim != 2:
+            raise ValueError(f"points must be 2-D, got shape {points.shape}")
+        if points.shape[0] == 0 or points.shape[1] == 0:
+            raise EmptyArrayError()
+        # Row-contiguity: each row must be contiguous in memory. A C-order
+        # matrix always is; a Fortran-order matrix with >1 row is not
+        # (mirrors ndarray's `is_standard_layout` on row 0).
+        if points.shape[0] > 1 and points.shape[1] > 1:
+            if points.strides[1] != points.itemsize:
+                raise NotContiguousError()
+        return jnp.asarray(points, dtype=_as_float_dtype(points.dtype))
+
+    arr = jnp.asarray(points)
+    if arr.ndim != 2:
+        raise ValueError(f"points must be 2-D, got shape {arr.shape}")
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise EmptyArrayError()
+    return arr.astype(_as_float_dtype(arr.dtype))
+
+
+def check_query(point, dim: int, dtype) -> jnp.ndarray:
+    """Validate a single (d,) query vector against the index dimension."""
+    q = jnp.asarray(point)
+    if q.ndim != 1:
+        raise ValueError(f"query point must be 1-D, got shape {q.shape}")
+    if q.shape[0] != dim:
+        raise ValueError(f"query dim {q.shape[0]} != index dim {dim}")
+    return q.astype(dtype)
+
+
+def check_query_batch(queries, dim: int, dtype) -> jnp.ndarray:
+    """Validate a (q, d) batch of query vectors."""
+    q = jnp.asarray(queries)
+    if q.ndim != 2:
+        raise ValueError(f"query batch must be 2-D, got shape {q.shape}")
+    if q.shape[1] != dim:
+        raise ValueError(f"query dim {q.shape[1]} != index dim {dim}")
+    return q.astype(dtype)

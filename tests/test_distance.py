@@ -1,0 +1,136 @@
+"""Metric-layer tests, replicating the reference's distance.rs test module
+(distance.rs:124-183) plus batched-path consistency checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from petal_neighbors_tpu import distance
+from petal_neighbors_tpu.distance import Cosine, Euclidean, Minkowski, get_metric, pairwise
+
+
+class TestEuclidean:
+    def test_pair_distance(self):
+        m = Euclidean()
+        x = jnp.array([3.0, 4.0])
+        y = jnp.array([0.0, 0.0])
+        assert float(m.distance(x, y)) == pytest.approx(5.0)
+        assert float(m.rdistance(x, y)) == pytest.approx(25.0)
+        assert float(m.rdistance_to_distance(25.0)) == pytest.approx(5.0)
+        assert float(m.distance_to_rdistance(5.0)) == pytest.approx(25.0)
+
+    def test_batch_matches_pair(self, rng):
+        m = Euclidean()
+        x = rng.standard_normal((7, 5))
+        q = rng.standard_normal((3, 5))
+        batch = np.asarray(m.dist(q, x))
+        for i in range(3):
+            for j in range(7):
+                assert batch[i, j] == pytest.approx(
+                    float(np.linalg.norm(q[i] - x[j])), rel=1e-6)
+
+    def test_rdist_nonnegative_close_points(self):
+        m = Euclidean()
+        x = jnp.array([[1.0000001, 2.0], [1.0, 2.0]])
+        rd = np.asarray(m.rdist(x, x))
+        assert (rd >= 0).all()
+
+
+class TestCosine:
+    """Replicates distance.rs:143-182."""
+
+    def test_orthogonal(self):
+        m = Cosine()
+        assert float(m.distance(jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0]))) == pytest.approx(1.0, abs=1e-6)
+
+    def test_identical(self):
+        m = Cosine()
+        v = jnp.array([1.0, 2.0, 3.0])
+        assert float(m.distance(v, v)) == pytest.approx(0.0, abs=1e-6)
+        assert float(m.rdistance(v, v)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_opposite(self):
+        m = Cosine()
+        v5 = jnp.array([1.0, 1.0])
+        v6 = jnp.array([-1.0, -1.0])
+        assert float(m.distance(v5, v6)) == pytest.approx(2.0, abs=1e-6)
+        assert float(m.rdistance(v5, v6)) == pytest.approx(2.0, abs=1e-6)
+
+    def test_parallel(self):
+        m = Cosine()
+        assert float(m.distance(jnp.array([3.0, 4.0]), jnp.array([6.0, 8.0]))) == pytest.approx(0.0, abs=1e-6)
+
+    def test_batch_matches_pair(self, rng):
+        m = Cosine()
+        x = rng.standard_normal((6, 4))
+        q = rng.standard_normal((2, 4))
+        batch = np.asarray(m.rdist(q, x))
+        for i in range(2):
+            for j in range(6):
+                assert batch[i, j] == pytest.approx(
+                    float(m.distance(jnp.asarray(q[i]), jnp.asarray(x[j]))), abs=1e-6)
+
+    def test_conversions_identity(self):
+        m = Cosine()
+        assert float(m.rdistance_to_distance(0.3)) == pytest.approx(0.3)
+        assert float(m.distance_to_rdistance(0.3)) == pytest.approx(0.3)
+
+
+class TestMinkowski:
+    def test_p2_matches_euclidean(self, rng):
+        x = rng.standard_normal((5, 3))
+        q = rng.standard_normal((2, 3))
+        d2 = np.asarray(Minkowski(2.0).dist(q, x))
+        de = np.asarray(Euclidean().dist(q, x))
+        np.testing.assert_allclose(d2, de, rtol=1e-6)
+
+    def test_p1_manhattan(self):
+        m = Minkowski(1.0)
+        d = float(m.distance(jnp.array([0.0, 0.0]), jnp.array([1.0, 2.0])))
+        assert d == pytest.approx(3.0)
+
+    def test_invalid_p(self):
+        with pytest.raises(ValueError):
+            Minkowski(0.5)
+
+
+class TestPairwise:
+    def test_two_points(self):
+        """distance.rs:129-134."""
+        x = jnp.array([[3.0, 4.0], [0.0, 0.0]])
+        d = np.asarray(pairwise(x, Euclidean()))
+        np.testing.assert_allclose(d, [[0.0, 5.0], [5.0, 0.0]], atol=1e-12)
+
+    def test_one_point(self):
+        """distance.rs:136-141: n < 2 returns zeros."""
+        d = np.asarray(pairwise(jnp.array([[0.0]]), Euclidean()))
+        np.testing.assert_array_equal(d, [[0.0]])
+
+    def test_symmetry_and_zero_diag(self, rng):
+        x = rng.standard_normal((9, 4))
+        d = np.asarray(pairwise(x, Euclidean()))
+        np.testing.assert_array_equal(d, d.T)  # bit-exact mirror
+        np.testing.assert_array_equal(np.diag(d), np.zeros(9))
+
+
+class TestRegistry:
+    def test_get_by_name(self):
+        assert isinstance(get_metric("euclidean"), Euclidean)
+        assert isinstance(get_metric("cosine"), Cosine)
+        assert get_metric("minkowski", p=3).p == 3.0
+
+    def test_instance_passthrough(self):
+        m = Euclidean()
+        assert get_metric(m) is m
+
+    def test_unknown(self):
+        with pytest.raises(ValueError):
+            get_metric("chebyshev99")
+
+    def test_metric_equality(self):
+        """Mirrors ball_tree_metric (ball_tree.rs:640-647)."""
+        assert Euclidean() == Euclidean()
+        assert Cosine() == Cosine()
+        assert Euclidean() != Cosine()
+        assert Minkowski(2) == Minkowski(2)
+        assert Minkowski(2) != Minkowski(3)
