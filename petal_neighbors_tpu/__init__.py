@@ -18,7 +18,7 @@ multi-chip search (``petal_neighbors_tpu.parallel``).
 from . import distance
 from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
-from .trees import BruteForce
+from .trees import BallTree, BruteForce
 
 __version__ = "0.1.0"
 
@@ -32,5 +32,6 @@ __all__ = [
     "ArrayError",
     "EmptyArrayError",
     "NotContiguousError",
+    "BallTree",
     "BruteForce",
 ]

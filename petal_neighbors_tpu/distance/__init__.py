@@ -43,6 +43,15 @@ __all__ = [
 # (pass-count 6 / HIGHEST) rather than bf16x3.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Below this dimension the squared-distance matmul trick is a net loss:
+# the MXU pads K to 128 (wasting >= 4x at d <= 32) *and* the
+# ||q||^2+||x||^2-2qx form suffers catastrophic cancellation in f32 when
+# distances are tiny relative to the norms (measured ~1e-2 relative error
+# on 2-D normal data).  The direct (q-x)^2 form on the VPU is both faster
+# and exact-to-rounding there.  High-dim callers keep the MXU path and
+# rescore top-k candidates with the direct form (ops.bruteforce).
+DIRECT_DIM_MAX = 32
+
 
 class Metric(abc.ABC):
     """Distance-metric interface (reference trait: distance.rs:9-14)."""
@@ -121,6 +130,9 @@ class Euclidean(Metric):
     def rdist(self, q, x):
         q = jnp.asarray(q)
         x = jnp.asarray(x)
+        if q.shape[-1] <= DIRECT_DIM_MAX:
+            diff = q[:, None, :] - x[None, :, :]
+            return jnp.sum(diff * diff, axis=-1)
         qn = jnp.sum(q * q, axis=-1, keepdims=True)          # (m, 1)
         xn = jnp.sum(x * x, axis=-1)                          # (n,)
         cross = jnp.dot(q, x.T, precision=MATMUL_PRECISION)   # (m, n) MXU
@@ -128,6 +140,9 @@ class Euclidean(Metric):
 
     def rdist_with_norms(self, q, x, qn, xn):
         """rdist when ‖·‖² terms are precomputed (index-resident norms)."""
+        if q.shape[-1] <= DIRECT_DIM_MAX:
+            diff = q[:, None, :] - x[None, :, :]
+            return jnp.sum(diff * diff, axis=-1)
         cross = jnp.dot(q, x.T, precision=MATMUL_PRECISION)
         return jnp.maximum(qn[:, None] + xn[None, :] - 2.0 * cross, 0.0)
 

@@ -18,7 +18,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..distance import Euclidean, Metric
+from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
 from .topk import merge_topk, nan_to_inf, smallest_k
 
 __all__ = ["knn", "radius_mask", "radius_counts", "compact_mask"]
@@ -33,14 +33,24 @@ def _pick_chunk(n: int, q: int, dim: int, chunk: int | None) -> int:
     return max(128, min(c, n))
 
 
+RESCORE_SLACK = 8
+
+
 def knn(points, queries, k: int, metric: Metric | None = None,
-        *, chunk: int | None = None, point_norms=None):
+        *, chunk: int | None = None, point_norms=None,
+        rescore: bool = True):
     """Exact k nearest neighbors of ``queries`` (Q, d) among ``points`` (n, d).
 
     Returns ``(distances, indices)`` with shape (Q, k_eff), sorted
     ascending, ``k_eff = min(k, n)``; ``k == 0`` gives empty arrays
     (reference contract, ball_tree.rs:106-108; k > n returns n results).
     NaN distances sort as +inf (CHANGELOG.md:111-115).
+
+    ``rescore``: for high-dim Euclidean, the streaming pass uses the
+    MXU-matmul squared-distance form, which loses relative accuracy by
+    cancellation when distances are tiny versus the norms; the final
+    top-(k + slack) candidates are then re-scored with the direct
+    (q-x)^2 form and re-ranked, restoring exact-to-rounding distances.
     """
     metric = metric or Euclidean()
     points = jnp.asarray(points)
@@ -51,6 +61,9 @@ def knn(points, queries, k: int, metric: Metric | None = None,
     if k_eff == 0:
         return (jnp.zeros((q, 0), dtype=points.dtype),
                 jnp.zeros((q, 0), dtype=jnp.int32))
+    do_rescore = (rescore and isinstance(metric, Euclidean)
+                  and dim > DIRECT_DIM_MAX)
+    k_scan = min(k_eff + RESCORE_SLACK, n) if do_rescore else k_eff
 
     c = _pick_chunk(n, q, dim, chunk)
     n_chunks = -(-n // c)
@@ -86,13 +99,21 @@ def knn(points, queries, k: int, metric: Metric | None = None,
         # on the positional tie-break.
         best_d, best_i = merge_topk(
             rd, jnp.broadcast_to(ids[None, :], rd.shape),
-            best_d, best_i, k_eff)
+            best_d, best_i, k_scan)
         return (best_d, best_i), None
 
-    init = (jnp.full((q, k_eff), jnp.inf, dtype=points.dtype),
-            jnp.full((q, k_eff), -1, dtype=jnp.int32))
+    init = (jnp.full((q, k_scan), jnp.inf, dtype=points.dtype),
+            jnp.full((q, k_scan), -1, dtype=jnp.int32))
     bases = (jnp.arange(n_chunks, dtype=jnp.int32) * c)
     (best_rd, best_i), _ = jax.lax.scan(body, init, (chunks, xn_chunks, bases))
+
+    if do_rescore:
+        # exact re-score of the candidate set with the direct form
+        cand = points[jnp.maximum(best_i, 0)]                # (Q, k_scan, d)
+        diff = queries[:, None, :] - cand
+        rd_exact = jnp.sum(diff * diff, axis=-1)
+        rd_exact = jnp.where(best_i >= 0, nan_to_inf(rd_exact), jnp.inf)
+        best_rd, best_i = smallest_k(rd_exact, best_i, k_eff)
     return metric.rdistance_to_distance(best_rd), best_i
 
 

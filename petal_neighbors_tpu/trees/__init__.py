@@ -1,5 +1,6 @@
 """Index layer: flat SoA tree structures and the brute-force exact index."""
 
+from .ball import BallTree, Node, NodeTable
 from .bruteforce import BruteForce
 
-__all__ = ["BruteForce"]
+__all__ = ["BallTree", "Node", "NodeTable", "BruteForce"]

@@ -1,0 +1,261 @@
+"""BallTree — the central index (parity: ball_tree.rs:15-374).
+
+Flat SoA layout on device: ``centroids (n_nodes, d)``, ``radii (n_nodes,)``,
+the ``idx`` permutation, and the points re-ordered by ``idx`` so every
+node's members are one contiguous row-range (the reference's layout,
+ball_tree.rs:15-24, already TPU-friendly).  Node ranges / leaf flags are
+static host metadata (``TreeShape``).
+
+Reference API surface replicated: ``new``/``euclidean`` constructors with
+Empty/NotContiguous validation, ``query_nearest``, ``query`` (k=0 -> empty,
+k>n -> n results, ascending sort), ``query_radius`` (inclusive subtree
+take, strict leaf filter), and the dual-tree node accessors consumed by
+petal-clustering (``node_distance_lower_bound``, ``children_of``,
+``points_of``, ``radius_of``, ``compare_nodes``, ``num_nodes``,
+``num_points`` — ball_tree.rs:303-353).
+
+TPU extensions: batched ``query_batch`` / ``query_radius_batch``,
+configurable ``leaf_size`` (TPU tiling wants 128-256, not the reference's
+1-2), and selectable builders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..distance import Euclidean, Metric, get_metric
+from ..utils.tree_math import TreeShape, tree_shape
+from ..utils.validation import check_points, check_query, check_query_batch
+from . import ball_build, ball_query
+from .ball_build import BallTreeData
+
+__all__ = ["BallTree", "Node", "NodeTable"]
+
+
+class Node:
+    """View of one tree node (parity with ``Node`` fields,
+    ball_tree.rs:427-432: range, centroid, radius, is_leaf)."""
+
+    __slots__ = ("range", "centroid", "radius", "is_leaf")
+
+    def __init__(self, range_, centroid, radius, is_leaf):
+        self.range = range_
+        self.centroid = centroid
+        self.radius = radius
+        self.is_leaf = is_leaf
+
+    def __repr__(self):
+        return (f"Node(range={self.range}, radius={self.radius:.6g}, "
+                f"is_leaf={self.is_leaf})")
+
+
+class NodeTable:
+    """SoA node array with reference-style per-node access."""
+
+    def __init__(self, centroids, radii, shape: TreeShape):
+        self.centroids = centroids          # (n_nodes, d) device array
+        self.radii = radii                  # (n_nodes,)
+        self.shape = shape
+
+    def __len__(self):
+        return self.shape.n_nodes
+
+    def __getitem__(self, i: int) -> Node:
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        return Node(
+            range_=range(int(self.shape.range_start[i]),
+                         int(self.shape.range_end[i])),
+            centroid=np.asarray(self.centroids[i]),
+            radius=float(self.radii[i]),
+            is_leaf=bool(self.shape.is_leaf[i]),
+        )
+
+
+class BallTree:
+    """Exact metric ball-tree index over a dense points matrix."""
+
+    def __init__(self, points, metric: Metric | str = "euclidean", *,
+                 leaf_size: int | None = 128, builder: str = "vectorized"):
+        """Build the tree (reference ``BallTree::new``, ball_tree.rs:38-63).
+
+        Args:
+          points: (n, d) float matrix (NumPy or JAX). Raises
+            ``EmptyArrayError`` / ``NotContiguousError`` like the reference.
+          metric: a ``Metric`` or registry name.
+          leaf_size: max points per leaf. ``None`` reproduces the
+            reference's sizing exactly (1-2 points/leaf,
+            ball_tree.rs:51-52); the default 128 is the TPU-friendly
+            setting (results identical, speed differs).
+          builder: ``"vectorized"`` (level-synchronous host build) or
+            ``"reference"`` (exact reference idx permutation incl. tie
+            order — quickselect semantics of ball_tree.rs:545-569).
+        """
+        self.metric = get_metric(metric)
+        self.points = check_points(points)
+        n = self.points.shape[0]
+        self._shape = tree_shape(n, leaf_size)
+
+        host_pts = np.asarray(self.points)
+        if builder == "vectorized":
+            data = ball_build.build_host_vectorized(host_pts, self._shape,
+                                                    self.metric)
+        elif builder == "reference":
+            data = ball_build.build_reference_order(host_pts, self._shape,
+                                                    self.metric)
+        else:
+            raise ValueError(f"unknown builder {builder!r}")
+        self._init_from_data(data)
+
+    def _init_from_data(self, data: BallTreeData) -> None:
+        self.idx = np.asarray(data.idx, dtype=np.int64)      # public field
+        self.nodes = NodeTable(jnp.asarray(data.centroids),
+                               jnp.asarray(data.radii), data.shape)
+        # device-resident query state
+        self._centroids = self.nodes.centroids
+        self._radii = self.nodes.radii
+        self._points_perm = self.points[jnp.asarray(self.idx)]
+        self._orig_ids = jnp.asarray(self.idx, dtype=jnp.int32)
+        inv = np.empty_like(self.idx)
+        inv[self.idx] = np.arange(len(self.idx))
+        self._pos_of_id = jnp.asarray(inv, dtype=jnp.int32)
+        if isinstance(self.metric, Euclidean):
+            self._perm_norms = jnp.sum(self._points_perm * self._points_perm,
+                                       axis=-1)
+        else:
+            self._perm_norms = None
+        lo = self._shape.leaf_offset
+        self._leaf_centroids = self._centroids[lo:]
+        self._leaf_radii = self._radii[lo:]
+
+    @classmethod
+    def euclidean(cls, points, **kwargs) -> "BallTree":
+        """Convenience constructor (ball_tree.rs:356-374)."""
+        return cls(points, Euclidean(), **kwargs)
+
+    # ------------------------------------------------------------------
+    # single-query API (reference-shaped; ball_tree.rs:80-142)
+    # ------------------------------------------------------------------
+    def query_nearest(self, point):
+        """(index, distance) of the nearest point (ball_tree.rs:80-87)."""
+        q = check_query(point, self.dim, self.points.dtype)
+        d, i = self._knn(q[None, :], 1)
+        return int(i[0, 0]), float(d[0, 0])
+
+    def query(self, point, k: int):
+        """k nearest: (indices, distances) ascending (ball_tree.rs:102-121).
+        k=0 returns empty; k>n returns n results."""
+        q = check_query(point, self.dim, self.points.dtype)
+        k_eff = min(int(k), self.n)
+        if k_eff == 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.asarray(self.points).dtype))
+        d, i = self._knn(q[None, :], k_eff)
+        return np.asarray(i[0]).astype(np.int64), np.asarray(d[0])
+
+    def query_radius(self, point, distance):
+        """All indices within ``distance`` (ball_tree.rs:123-142).
+
+        Boundary semantics replicate the reference exactly: points covered
+        by a wholly-contained node are taken inclusively (ub <= r) without
+        distance evaluation; leaf-scanned points use strict d < r
+        (ball_tree.rs:271-277). Order is unspecified (the reference returns
+        traversal order; its own tests sort)."""
+        q = check_query(point, self.dim, self.points.dtype)
+        mask = self._radius_mask(q[None, :], distance)
+        return np.flatnonzero(np.asarray(mask[0])).astype(np.int64)
+
+    # ------------------------------------------------------------------
+    # batched API (the TPU path)
+    # ------------------------------------------------------------------
+    def query_batch(self, queries, k: int, *, chunk_leaves: int = 8):
+        """Exact batched k-NN: (distances, indices), each (Q, min(k, n))."""
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        k_eff = min(int(k), self.n)
+        if k_eff == 0:
+            return (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
+                    jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
+        return self._knn(qs, k_eff, chunk_leaves=chunk_leaves)
+
+    def query_nearest_batch(self, queries):
+        d, i = self.query_batch(queries, 1)
+        return i[:, 0], d[:, 0]
+
+    def query_radius_batch(self, queries, distance, *, cap: int | None = None):
+        """Batched radius search. Returns a (Q, n) boolean mask (original
+        id order), or ``(indices (Q, cap), counts)`` when ``cap`` is set —
+        the masked-segment-output scheme for variable-length results."""
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        mask = self._radius_mask(qs, distance)
+        if cap is None:
+            return mask
+        from ..ops.bruteforce import compact_mask
+        return compact_mask(mask, cap)
+
+    def _knn(self, qs, k_eff: int, chunk_leaves: int = 8):
+        d, i = ball_query.knn_query(
+            self._points_perm, self._perm_norms, self._orig_ids,
+            self._leaf_centroids, self._leaf_radii, qs,
+            k=k_eff, shape=self._shape, metric=self.metric,
+            chunk_leaves=chunk_leaves)
+        return d, i
+
+    def _radius_mask(self, qs, distance):
+        return ball_query.radius_query_mask(
+            self._points_perm, self._pos_of_id, self._centroids, self._radii,
+            qs, distance, shape=self._shape, metric=self.metric)
+
+    # ------------------------------------------------------------------
+    # dual-tree node accessors (petal-clustering HDBSCAN consumers;
+    # ball_tree.rs:303-353)
+    # ------------------------------------------------------------------
+    def node_distance_lower_bound(self, n1: int, n2: int) -> float:
+        """max(d(c1, c2) - r1 - r2, 0) (ball_tree.rs:303-317)."""
+        nn = self._shape.n_nodes
+        if not (0 <= n1 < nn and 0 <= n2 < nn):
+            raise IndexError("node index out of range")
+        d = float(self.metric.rowwise_dist(self._centroids[n1][None, :],
+                                           self._centroids[n2][None, :])[0])
+        lb = d - float(self._radii[n1]) - float(self._radii[n2])
+        return max(lb, 0.0)
+
+    def children_of(self, n: int):
+        """(left, right) ids, or None for a leaf (ball_tree.rs:320-328)."""
+        if self._shape.is_leaf[n]:
+            return None
+        return 2 * n + 1, 2 * n + 2
+
+    def points_of(self, n: int) -> np.ndarray:
+        """Original point ids owned by node ``n`` (ball_tree.rs:331-333)."""
+        s, e = self._shape.range_start[n], self._shape.range_end[n]
+        return self.idx[s:e]
+
+    def radius_of(self, n: int) -> float:
+        return float(self._radii[n])
+
+    def compare_nodes(self, x: int, y: int):
+        """Ordering of node radii: -1/0/+1, or None if incomparable (NaN)
+        (ball_tree.rs:341-343 partial_cmp semantics)."""
+        rx, ry = float(self._radii[x]), float(self._radii[y])
+        if np.isnan(rx) or np.isnan(ry):
+            return None
+        return (rx > ry) - (rx < ry)
+
+    def num_nodes(self) -> int:
+        return self._shape.n_nodes
+
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def shape(self) -> TreeShape:
+        return self._shape

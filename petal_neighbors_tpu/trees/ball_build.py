@@ -111,10 +111,13 @@ def build_host_vectorized(points: np.ndarray, shape: TreeShape,
         cent = (sums / counts[:, None]).astype(out_dtype)
         centroids[lo:hi] = cent
 
-        # radius: max metric-distance from centroid to members (:458-460)
+        # radius: max metric-distance from centroid to members (:458-460).
+        # The reference folds with FloatCore::max (IEEE maxNum) from zero,
+        # so NaN distances are ignored and an all-NaN node gets radius 0 —
+        # fmax + nan_to_num reproduces that exactly.
         cent_of_pos = np.repeat(cent, (ends - starts), axis=0)
         dist = _np_rowwise_dist(metric, cent_of_pos, pp)
-        radii[lo:hi] = np.maximum.reduceat(dist, starts)
+        radii[lo:hi] = np.nan_to_num(np.fmax.reduceat(dist, starts), nan=0.0)
 
         if level == shape.height - 1:
             break  # leaves: no partition below
@@ -202,7 +205,9 @@ def build_reference_order(points: np.ndarray, shape: TreeShape,
         cent = members.sum(axis=0) / (e - s)   # mean (ball_tree.rs:445-456)
         centroids[node] = cent
         d = _np_rowwise_dist(metric, np.broadcast_to(cent, members.shape), members)
-        radii[node] = d.max() if len(d) else 0.0
+        # IEEE-maxNum fold from zero (NaN ignored), ball_tree.rs:458-460
+        d = d[~np.isnan(d)]
+        radii[node] = d.max() if d.size else 0.0
 
     # iterative DFS to dodge Python recursion limits on deep trees
     stack = [(0, 0, n)]

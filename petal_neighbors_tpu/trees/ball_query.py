@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..distance import Euclidean, Metric
-from ..ops.topk import merge_topk, nan_to_inf
+from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
+from ..ops.topk import merge_topk, nan_to_inf, smallest_k
 from ..utils.tree_math import TreeShape
 
 __all__ = ["knn_query", "radius_query_mask"]
@@ -76,9 +76,11 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
 
     # --- Phase 1: bounds to every leaf ball, one MXU matmul --------------
     d_c = metric.rdistance_to_distance(metric.rdist(queries, leaf_centroids))
-    d_c = nan_to_inf(d_c)                                   # (Q, L)
-    lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)
+    lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)        # (Q, L)
     lb = jnp.maximum(lb - _bound_slack(dtype) * (d_c + leaf_radii[None, :]), 0.0)
+    # NaN bounds never prune in the reference (NaN > r is false,
+    # ball_tree.rs:212-214) — force those leaves to be visited.
+    lb = jnp.where(jnp.isnan(lb), 0.0, lb)
 
     order = jnp.argsort(lb, axis=1).astype(jnp.int32)       # (Q, L) best-first
     lb_sorted = jnp.take_along_axis(lb, order, axis=1)
@@ -107,12 +109,12 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
 
     def cond(state):
         best_rd, _, ci = state
-        next_lb = jax.lax.dynamic_slice(lb_sorted, (0, ci * C), (q, 1))[:, 0]
+        next_lb = jax.lax.dynamic_slice(lb_sorted, (jnp.int32(0), ci * C), (q, 1))[:, 0]
         return (ci < n_chunks) & jnp.any(next_lb <= kth_dist(best_rd))
 
     def body(state):
         best_rd, best_ii, ci = state
-        leaf_ids = jax.lax.dynamic_slice(order, (0, ci * C), (q, C))  # (Q,C)
+        leaf_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C), (q, C))  # (Q,C)
         s = leaf_start[leaf_ids]                                       # (Q,C)
         cnt = leaf_count[leaf_ids]
         pos = s[..., None] + m_ar[None, None, :]                       # (Q,C,M)
@@ -120,7 +122,12 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
         pos = jnp.where(valid, pos, 0)
 
         pts = points_perm[pos]                                         # (Q,C,M,d)
-        if use_norms:
+        if isinstance(metric, Euclidean) and dim <= DIRECT_DIM_MAX:
+            # direct form: exact to rounding, and faster than a K<=32
+            # matmul (see distance.DIRECT_DIM_MAX)
+            diff = pts - queries[:, None, None, :]
+            rd = jnp.sum(diff * diff, axis=-1)
+        elif use_norms:
             cross = jnp.einsum("qd,qcmd->qcm", queries, pts,
                                precision=jax.lax.Precision.HIGHEST)
             rd = jnp.maximum(
@@ -130,15 +137,31 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
             rd = jax.vmap(lambda qq, xx: metric.rdist(qq[None], xx)[0])(
                 queries, flat).reshape(q, C, max_leaf)
         rd = jnp.where(valid, nan_to_inf(rd), jnp.inf).reshape(q, C * max_leaf)
-        ids = jnp.where(valid, orig_ids[pos], -1).reshape(q, C * max_leaf)
+        # carry permuted positions; mapped to original ids at the end
+        pids = jnp.where(valid, pos, -1).reshape(q, C * max_leaf)
 
-        best_rd, best_ii = merge_topk(rd, ids, best_rd, best_ii, k)
+        best_rd, best_ii = merge_topk(rd, pids, best_rd, best_ii, k_scan)
         return best_rd, best_ii, ci + 1
 
-    init = (jnp.full((q, k), jnp.inf, dtype=dtype),
-            jnp.full((q, k), -1, dtype=jnp.int32),
+    # High-dim Euclidean: the matmul form loses accuracy by cancellation at
+    # tiny distances, so keep a small candidate slack and re-score exactly
+    # with the direct form after the loop (same scheme as ops.bruteforce).
+    do_rescore = isinstance(metric, Euclidean) and dim > DIRECT_DIM_MAX
+    k_scan = min(k + 8, n) if do_rescore else k
+
+    init = (jnp.full((q, k_scan), jnp.inf, dtype=dtype),
+            jnp.full((q, k_scan), -1, dtype=jnp.int32),
             jnp.int32(0))
-    best_rd, best_ii, _ = jax.lax.while_loop(cond, body, init)
+    best_rd, best_pos, _ = jax.lax.while_loop(cond, body, init)
+
+    if do_rescore:
+        cand = points_perm[jnp.maximum(best_pos, 0)]
+        diff = queries[:, None, :] - cand
+        rd_exact = jnp.sum(diff * diff, axis=-1)
+        rd_exact = jnp.where(best_pos >= 0, nan_to_inf(rd_exact), jnp.inf)
+        best_rd, best_pos = smallest_k(rd_exact, best_pos, k)
+
+    best_ii = jnp.where(best_pos >= 0, orig_ids[jnp.maximum(best_pos, 0)], -1)
     return metric.rdistance_to_distance(best_rd), best_ii
 
 
@@ -160,14 +183,14 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
 
     # bounds for ALL nodes at once
     d_node = metric.rdistance_to_distance(metric.rdist(queries, centroids))
-    d_node = nan_to_inf(d_node)                              # (Q, N)
-    lb = jnp.maximum(d_node - radii[None, :], 0.0)
+    lb = jnp.maximum(d_node - radii[None, :], 0.0)           # (Q, N)
     ub = d_node + radii[None, :]
 
-    # reachability: reached[child] = reached[parent] & lb_p <= r & ub_p > r
-    # (a traversal descends only through nodes it neither pruned nor took
-    #  wholesale, ball_tree.rs:264-286)
-    descend = (lb <= r) & (ub > r)
+    # reachability: a traversal descends through nodes it neither pruned
+    # (lb > r) nor took wholesale (ub <= r) (ball_tree.rs:264-286).
+    # Written with negated comparisons so NaN bounds descend, exactly like
+    # the reference's `NaN > r == false` / `NaN <= r == false`.
+    descend = ~(lb > r) & ~(ub <= r)
     reached_lvl = [jnp.ones((q, 1), dtype=bool)]             # level 0: root
     for level in range(1, shape.height):
         lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
@@ -178,7 +201,8 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
 
     take_all = reached & (ub <= r)                           # inclusive take
     leaf_lo = shape.n_leaves - 1
-    scan_leaf = reached[:, leaf_lo:] & (lb[:, leaf_lo:] <= r) & (ub[:, leaf_lo:] > r)
+    scan_leaf = (reached[:, leaf_lo:] & ~(lb[:, leaf_lo:] > r)
+                 & ~(ub[:, leaf_lo:] <= r))
 
     # per-position flags: did any ancestor get taken wholesale?
     take_pos = jnp.zeros((q, n), dtype=bool)
