@@ -18,7 +18,7 @@ multi-chip search (``petal_neighbors_tpu.parallel``).
 from . import distance
 from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
-from .trees import BallTree, BruteForce
+from .trees import BallTree, BruteForce, VantagePointTree
 
 __version__ = "0.1.0"
 
@@ -33,5 +33,6 @@ __all__ = [
     "EmptyArrayError",
     "NotContiguousError",
     "BallTree",
+    "VantagePointTree",
     "BruteForce",
 ]

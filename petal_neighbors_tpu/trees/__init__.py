@@ -2,5 +2,6 @@
 
 from .ball import BallTree, Node, NodeTable
 from .bruteforce import BruteForce
+from .vantage import VantagePointTree
 
-__all__ = ["BallTree", "Node", "NodeTable", "BruteForce"]
+__all__ = ["BallTree", "Node", "NodeTable", "BruteForce", "VantagePointTree"]

@@ -1,0 +1,144 @@
+"""VantagePointTree tests: the reference's single test
+(vantage_point_tree.rs:220-233), build-structure invariants, and
+oracle-exactness for the k-NN/radius extensions."""
+
+import numpy as np
+import pytest
+
+from petal_neighbors_tpu import (
+    Cosine, EmptyArrayError, NotContiguousError, VantagePointTree,
+)
+from petal_neighbors_tpu.trees.vantage import NULL, _build_host
+from petal_neighbors_tpu.distance import Euclidean
+
+
+def numpy_knn(points, query, k):
+    d = np.sqrt(((points - query[None, :]) ** 2).sum(-1))
+    order = np.argsort(d, kind="stable")[:k]
+    return d[order], order
+
+
+class TestReferenceParity:
+    def test_euclidean_6points(self):
+        """The reference's `euclidian` test (vantage_point_tree.rs:220-233)."""
+        pts = np.array([[1.0, 2.0], [1.1, 2.2], [0.9, 1.9],
+                        [1.0, 2.1], [-2.0, 3.0], [-2.2, 3.1]])
+        vp = VantagePointTree.euclidean(pts)
+        assert vp.query_nearest(np.array([0.95, 1.96]))[0] == 0
+
+    def test_doctest(self):
+        """vantage_point_tree.rs:78-87 doctest."""
+        pts = np.array([[1.0, 1.0], [1.0, 2.0], [9.0, 9.0]])
+        vp = VantagePointTree.euclidean(pts)
+        i, d = vp.query_nearest(np.array([8.0, 8.0]))
+        assert i == 2
+        assert d == pytest.approx(np.sqrt(2.0), abs=1e-8)
+
+    def test_empty_rejected(self):
+        with pytest.raises(EmptyArrayError):
+            VantagePointTree.euclidean(np.zeros((0, 3)))
+
+    def test_fortran_rejected(self):
+        with pytest.raises(NotContiguousError):
+            VantagePointTree.euclidean(
+                np.asfortranarray(np.random.rand(4, 2)))
+
+
+class TestBuildStructure:
+    def test_vantage_is_last(self):
+        """Root vantage point is the last row (vantage_point_tree.rs:169)."""
+        pts = np.random.default_rng(1).uniform(0, 1, (9, 2))
+        vp, radius, near, far, root, depth = _build_host(pts, Euclidean())
+        assert vp[root] == 8
+
+    def test_all_points_are_nodes(self, rng):
+        pts = rng.uniform(0, 1, (23, 3))
+        vp, radius, near, far, root, depth = _build_host(pts, Euclidean())
+        assert sorted(vp.tolist()) == list(range(23))
+        assert len(vp) == 23
+
+    def test_radius_is_median(self):
+        """Radius = far[0] distance = median (vantage_point_tree.rs:180-182)."""
+        pts = np.array([[0.0], [1.0], [2.0], [3.0], [10.0]])
+        vp, radius, near, far, root, _ = _build_host(pts, Euclidean())
+        # vantage = point 4 at 10.0; dists of rest: [10, 9, 8, 7] sorted ->
+        # [7, 8, 9, 10]; half=2 -> radius = 9.0
+        assert vp[root] == 4
+        assert radius[root] == pytest.approx(9.0)
+
+    def test_singleton_leaf_radius_max(self):
+        pts = np.array([[0.0], [5.0]])
+        vp, radius, near, far, root, _ = _build_host(pts, Euclidean())
+        leaves = [i for i in range(len(vp)) if near[i] == NULL and far[i] == NULL]
+        assert leaves
+        for l in leaves:
+            assert radius[l] == np.finfo(np.float64).max
+
+    def test_balanced_depth(self, rng):
+        pts = rng.uniform(0, 1, (1000, 2))
+        *_, depth = _build_host(pts, Euclidean())
+        assert depth <= 2 * int(np.ceil(np.log2(1000))) + 2
+
+
+class TestQueryOracle:
+    @pytest.mark.parametrize("n,dim", [(40, 3), (137, 2), (64, 8)])
+    def test_query_nearest_matches_oracle(self, rng, n, dim):
+        pts = rng.uniform(0, 1, (n, dim))
+        vp = VantagePointTree.euclidean(pts)
+        for _ in range(10):
+            q = rng.uniform(0, 1, dim)
+            i, d = vp.query_nearest(q)
+            od, oi = numpy_knn(pts, q, 1)
+            assert d == pytest.approx(od[0], rel=1e-10)
+            assert i == oi[0]
+
+    def test_knn_extension_matches_oracle(self, rng):
+        pts = rng.uniform(0, 1, (100, 3))
+        qs = rng.uniform(0, 1, (20, 3))
+        vp = VantagePointTree.euclidean(pts)
+        d, i = vp.query_batch(qs, 10)
+        d, i = np.asarray(d), np.asarray(i)
+        for r in range(20):
+            od, oi = numpy_knn(pts, qs[r], 10)
+            np.testing.assert_allclose(d[r], od, rtol=1e-9)
+            assert set(i[r].tolist()) == set(oi.tolist())
+
+    def test_k0_and_k_gt_n(self, rng):
+        pts = rng.uniform(0, 1, (7, 2))
+        vp = VantagePointTree.euclidean(pts)
+        i, d = vp.query(pts[0], 0)
+        assert i.size == 0 and d.size == 0
+        i, d = vp.query(pts[0], 50)
+        assert len(i) == 7
+        assert (np.diff(d) >= 0).all()
+
+    def test_self_queries(self, rng):
+        pts = rng.uniform(0, 1, (50, 4))
+        vp = VantagePointTree.euclidean(pts)
+        ids, dists = vp.query_nearest_batch(pts)
+        np.testing.assert_array_equal(np.asarray(ids), np.arange(50))
+        np.testing.assert_allclose(np.asarray(dists), 0.0, atol=1e-12)
+
+    def test_radius_extension(self, rng):
+        pts = rng.uniform(0, 1, (60, 2))
+        vp = VantagePointTree.euclidean(pts)
+        q = rng.uniform(0, 1, 2)
+        got = sorted(vp.query_radius(q, 0.3).tolist())
+        od = np.sqrt(((pts - q[None]) ** 2).sum(-1))
+        assert got == np.flatnonzero(od <= 0.3).tolist()
+
+    def test_cosine_metric(self, rng):
+        pts = rng.standard_normal((40, 5))
+        vp = VantagePointTree(pts, Cosine())
+        q = rng.standard_normal(5)
+        i, d = vp.query_nearest(q)
+        pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        od = 1 - pn @ (q / np.linalg.norm(q))
+        assert i == np.argmin(od)
+        assert d == pytest.approx(od.min(), abs=1e-9)
+
+    def test_identical_points(self):
+        pts = np.ones((8, 2))
+        vp = VantagePointTree.euclidean(pts)
+        i, d = vp.query_nearest(np.array([1.0, 2.0]))
+        assert d == pytest.approx(1.0)
