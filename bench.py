@@ -1,0 +1,114 @@
+"""Headline benchmark: exact batched k-NN QPS at recall@k = 1.0.
+
+Workload: BASELINE.json config #3 — SIFT-1M-shaped synthetic data
+(1M x 128-d f32), 10k-query batch, k=10, exact top-k via the streamed MXU
+distance path.  Prints ONE JSON line:
+
+    {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio}
+
+``vs_baseline``: the reference (petal-neighbors) publishes no numbers and
+no Rust toolchain exists here (BASELINE.md), so the denominator is a
+measured single-threaded CPU brute-force k-NN (NumPy/BLAS sgemm on one
+core) on a 100k subset, scaled linearly to 1M rows.  BLAS sgemm is faster
+than the reference's scalar per-pair loops (distance.rs:26-35), and a
+128-d ball tree cannot prune (SURVEY.md §7), so this denominator is an
+upper bound on reference single-core QPS — the reported ratio is
+conservative.
+"""
+
+# single-threaded CPU baseline: pin BLAS threads before importing numpy
+import os
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import json
+import time
+
+import numpy as np
+
+
+def cpu_baseline_qps(points: np.ndarray, queries: np.ndarray, k: int) -> float:
+    """Single-thread exact brute-force k-NN QPS (NumPy, one core)."""
+    xn = (points * points).sum(1)
+    t0 = time.perf_counter()
+    qn = (queries * queries).sum(1)
+    d = qn[:, None] + xn[None, :] - 2.0 * (queries @ points.T)
+    idx = np.argpartition(d, k, axis=1)[:, :k]
+    dd = np.take_along_axis(d, idx, axis=1)
+    order = np.argsort(dd, axis=1)
+    np.take_along_axis(idx, order, axis=1)
+    dt = time.perf_counter() - t0
+    return queries.shape[0] / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from petal_neighbors_tpu import BruteForce
+
+    n, dim, n_q, k = 1_000_000, 128, 10_000, 10
+    batch = 2_048
+
+    rng = np.random.default_rng(7)
+    # SIFT-like: non-negative, clustered scale
+    points = (rng.random((n, dim), dtype=np.float32) * 255.0)
+    queries = (rng.random((n_q, dim), dtype=np.float32) * 255.0)
+
+    # ---- TPU path -------------------------------------------------------
+    t0 = time.perf_counter()
+    index = BruteForce.euclidean(points)
+    jax.block_until_ready(index.point_norms)
+    build_s = time.perf_counter() - t0
+
+    qs_dev = jnp.asarray(queries)
+
+    def run_all():
+        outs = []
+        for s in range(0, n_q, batch):
+            outs.append(index.query_batch(qs_dev[s:s + batch], k))
+        jax.block_until_ready(outs)
+        return outs
+
+    run_all()                      # warm-up / compile
+    t0 = time.perf_counter()
+    outs = run_all()
+    query_s = time.perf_counter() - t0
+    qps = n_q / query_s
+
+    # ---- recall check vs f64 oracle on a sample --------------------------
+    sample = 64
+    d_dev = np.asarray(jnp.concatenate([o[0] for o in outs])[:sample])
+    i_dev = np.asarray(jnp.concatenate([o[1] for o in outs])[:sample])
+    q64 = queries[:sample].astype(np.float64)
+    p64 = points.astype(np.float64)
+    # memory-light oracle: per query row
+    recall_hits = 0
+    for r in range(sample):
+        dr = np.sqrt(((p64 - q64[r]) ** 2).sum(1))
+        oi = np.argsort(dr, kind="stable")[:k]
+        recall_hits += len(set(oi.tolist()) & set(i_dev[r].tolist()))
+    recall = recall_hits / (sample * k)
+
+    # ---- CPU single-core baseline (100k subset, scaled) ------------------
+    sub = 100_000
+    q_cpu = queries[:256]
+    qps_cpu_sub = cpu_baseline_qps(points[:sub], q_cpu, k)
+    qps_cpu_1m = qps_cpu_sub * (sub / n)
+
+    result = {
+        "metric": "exact_knn_qps_sift1m_k10",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / qps_cpu_1m, 2),
+        "recall_at_k": round(recall, 6),
+        "build_s": round(build_s, 3),
+        "query_batch_s": round(query_s, 3),
+        "cpu_1core_qps_est": round(qps_cpu_1m, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ It is simultaneously:
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,38 @@ RESCORE_SLACK = 8
 def knn(points, queries, k: int, metric: Metric | None = None,
         *, chunk: int | None = None, point_norms=None,
         rescore: bool = True):
+    """Public wrapper: resolves defaults, then dispatches to one jitted
+    computation (a single device round-trip — essential when the device
+    sits behind a network tunnel)."""
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n = points.shape[0]
+    k_eff = min(int(k), n)
+    if k_eff == 0:
+        return (jnp.zeros((queries.shape[0], 0), dtype=points.dtype),
+                jnp.zeros((queries.shape[0], 0), dtype=jnp.int32))
+    c = _pick_chunk(n, queries.shape[0], points.shape[1], chunk)
+    if point_norms is None:
+        return _knn_jit(points, queries, k=k_eff, metric=metric, chunk=c,
+                        rescore=rescore)
+    return _knn_jit_norms(points, queries, point_norms, k=k_eff,
+                          metric=metric, chunk=c, rescore=rescore)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
+def _knn_jit(points, queries, *, k, metric, chunk, rescore):
+    return _knn_impl(points, queries, None, k, metric, chunk, rescore)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
+def _knn_jit_norms(points, queries, point_norms, *, k, metric, chunk,
+                   rescore):
+    return _knn_impl(points, queries, point_norms, k, metric, chunk, rescore)
+
+
+def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
+              chunk: int, rescore: bool):
     """Exact k nearest neighbors of ``queries`` (Q, d) among ``points`` (n, d).
 
     Returns ``(distances, indices)`` with shape (Q, k_eff), sorted
@@ -52,20 +85,14 @@ def knn(points, queries, k: int, metric: Metric | None = None,
     top-(k + slack) candidates are then re-scored with the direct
     (q-x)^2 form and re-ranked, restoring exact-to-rounding distances.
     """
-    metric = metric or Euclidean()
-    points = jnp.asarray(points)
-    queries = jnp.asarray(queries)
     n, dim = points.shape
     q = queries.shape[0]
-    k_eff = min(int(k), n)
-    if k_eff == 0:
-        return (jnp.zeros((q, 0), dtype=points.dtype),
-                jnp.zeros((q, 0), dtype=jnp.int32))
+    k_eff = k                       # caller guarantees 1 <= k <= n
     do_rescore = (rescore and isinstance(metric, Euclidean)
                   and dim > DIRECT_DIM_MAX)
     k_scan = min(k_eff + RESCORE_SLACK, n) if do_rescore else k_eff
 
-    c = _pick_chunk(n, q, dim, chunk)
+    c = chunk
     n_chunks = -(-n // c)
     n_pad = n_chunks * c
     if n_pad != n:
@@ -130,11 +157,19 @@ def radius_mask(points, queries, radius, metric: Metric | None = None,
     metric = metric or Euclidean()
     points = jnp.asarray(points)
     queries = jnp.asarray(queries)
+    c = _pick_chunk(points.shape[0], queries.shape[0], points.shape[1], chunk)
+    return _radius_mask_jit(points, queries,
+                            jnp.asarray(radius, dtype=points.dtype),
+                            metric=metric, inclusive=inclusive, chunk=c)
+
+
+@partial(jax.jit, static_argnames=("metric", "inclusive", "chunk"))
+def _radius_mask_jit(points, queries, radius, *, metric, inclusive, chunk):
     n, dim = points.shape
     q = queries.shape[0]
-    rr = metric.distance_to_rdistance(jnp.asarray(radius, dtype=points.dtype))
+    rr = metric.distance_to_rdistance(radius)
 
-    c = _pick_chunk(n, q, dim, chunk)
+    c = chunk
     n_chunks = -(-n // c)
     n_pad = n_chunks * c
     if n_pad != n:

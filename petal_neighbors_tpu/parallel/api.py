@@ -1,0 +1,180 @@
+"""Sharded exact k-NN primitives (shard_map + XLA collectives).
+
+All three schemes return exact results (bitwise equal to the single-device
+path up to floating-point reduction order): top-k merging is associative,
+and padding rows are NaN so the NaN-is-farthest policy keeps them out of
+every result (CHANGELOG.md:111-115 put to work as a padding mechanism).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..distance import Euclidean, Metric
+from ..ops import bruteforce as bf
+from ..ops.topk import smallest_k
+
+__all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
+           "knn_ring"]
+
+
+def default_mesh(n_devices: int | None = None,
+                 axis_names=("shards",)) -> Mesh:
+    """A 1-D (or factored) mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(axis_names) == 1:
+        return Mesh(np.array(devs[:n]), axis_names)
+    # factor n into a 2-D mesh as evenly as possible
+    a = int(np.floor(np.sqrt(n)))
+    while n % a:
+        a -= 1
+    return Mesh(np.array(devs[:n]).reshape(a, n // a), axis_names)
+
+
+def _pad_rows_nan(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Pad rows up to a multiple with NaN (sorts farthest, never selected)."""
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad, x.shape[1]), jnp.nan, dtype=x.dtype)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# scheme 1: query DP — queries sharded, index replicated
+# ---------------------------------------------------------------------------
+
+def knn_query_sharded(points, queries, k: int, metric: Metric | None = None,
+                      *, mesh: Mesh, axis: str = "shards"):
+    """Queries sharded over ``axis``, points replicated on every device.
+
+    No collectives at all — each device answers its own query shard.
+    Returns (distances, indices) sharded like the queries.
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    nd = mesh.shape[axis]
+    qpad = _pad_rows_nan(queries, nd)
+    k_eff = min(int(k), points.shape[0])
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(axis)), out_specs=(P(axis), P(axis)))
+    def run(pts, qs):
+        return bf.knn(pts, qs, k_eff, metric)
+
+    d, i = run(points, qpad)
+    return d[: queries.shape[0]], i[: queries.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# scheme 2: point sharding — points sharded, queries replicated
+# ---------------------------------------------------------------------------
+
+def knn_points_sharded(points, queries, k: int, metric: Metric | None = None,
+                       *, mesh: Mesh, axis: str = "shards"):
+    """Points row-sharded over ``axis``; local exact top-k per shard, then
+    an ``all_gather`` of the P k-lists and an exact merge.
+
+    Index memory per chip = n/P rows — the scheme for indexes larger than
+    one chip's HBM when queries fit everywhere.
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n = points.shape[0]
+    nd = mesh.shape[axis]
+    ppad = _pad_rows_nan(points, nd)
+    rows = ppad.shape[0] // nd
+    k_eff = min(int(k), n)
+    k_local = min(k_eff, rows)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis), P()), out_specs=(P(), P()))
+    def run(pts_shard, qs):
+        base = jax.lax.axis_index(axis) * rows
+        d, i = bf.knn(pts_shard, qs, k_local, metric)
+        gi = jnp.where(i >= 0, i + base, -1)
+        all_d = jax.lax.all_gather(d, axis)          # (P, Q, k_local)
+        all_i = jax.lax.all_gather(gi, axis)
+        q = qs.shape[0]
+        flat_d = jnp.moveaxis(all_d, 0, 1).reshape(q, nd * k_local)
+        flat_i = jnp.moveaxis(all_i, 0, 1).reshape(q, nd * k_local)
+        return smallest_k(flat_d, flat_i, k_eff)
+
+    return run(ppad, queries)
+
+
+# ---------------------------------------------------------------------------
+# scheme 3: ring — queries AND points sharded; point shards rotate (ppermute)
+# ---------------------------------------------------------------------------
+
+def knn_ring(points, queries, k: int, metric: Metric | None = None,
+             *, mesh: Mesh, query_axis: str = "q", point_axis: str = "p"):
+    """2-D mesh ring search: queries sharded over ``query_axis``, points
+    over ``point_axis``.  Each of the P ring steps computes a local exact
+    top-k of the resident query shard against the current point shard and
+    merges it into the running result, then rotates the point shard (and
+    its global row offset) one hop with ``ppermute`` over ICI.
+
+    After P hops every query shard has seen every point shard; the merged
+    top-k is exact, and the result is replicated along ``point_axis``
+    (every device in a query row computes identical lists).
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n = points.shape[0]
+    nq = mesh.shape[query_axis]
+    npnt = mesh.shape[point_axis]
+    qpad = _pad_rows_nan(queries, nq)
+    ppad = _pad_rows_nan(points, npnt)
+    rows = ppad.shape[0] // npnt
+    k_eff = min(int(k), n)
+    k_local = min(k_eff, rows)
+    perm = [(j, (j + 1) % npnt) for j in range(npnt)]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(point_axis), P(query_axis)),
+        out_specs=(P(query_axis), P(query_axis)))
+    def run(pts_shard, qs_shard):
+        me = jax.lax.axis_index(point_axis)
+        base0 = (me * rows).astype(jnp.int32)
+        q = qs_shard.shape[0]
+
+        def step(carry, _):
+            best_d, best_i, pts, base = carry
+            d, i = bf.knn(pts, qs_shard, k_local, metric)
+            gi = jnp.where(i >= 0, i + base, -1)
+            best_d, best_i = smallest_k(
+                jnp.concatenate([d, best_d], axis=1),
+                jnp.concatenate([gi, best_i], axis=1), k_eff)
+            # rotate the point shard one hop around the ring (ICI traffic
+            # overlapped with the next step's local compute by XLA)
+            pts = jax.lax.ppermute(pts, point_axis, perm)
+            base = jax.lax.ppermute(base, point_axis, perm)
+            return (best_d, best_i, pts, base), None
+
+        init = (jnp.full((q, k_eff), jnp.inf, dtype=pts_shard.dtype),
+                jnp.full((q, k_eff), -1, dtype=jnp.int32),
+                pts_shard, base0)
+        (best_d, best_i, *_), _ = jax.lax.scan(step, init, None, length=npnt)
+        # every device in a query row now holds identical exact results;
+        # pmax over identical values is a bit-exact no-op that marks the
+        # output replicated over the point axis for shard_map
+        best_d = jax.lax.pmax(best_d, point_axis)
+        best_i = jax.lax.pmax(best_i, point_axis)
+        return best_d, best_i
+
+    d, i = run(ppad, qpad)
+    return d[: queries.shape[0]], i[: queries.shape[0]]

@@ -88,8 +88,10 @@ class BallTree:
             reference's sizing exactly (1-2 points/leaf,
             ball_tree.rs:51-52); the default 128 is the TPU-friendly
             setting (results identical, speed differs).
-          builder: ``"vectorized"`` (level-synchronous host build) or
-            ``"reference"`` (exact reference idx permutation incl. tie
+          builder: ``"vectorized"`` (level-synchronous host build),
+            ``"device"`` (the same algorithm as one jitted XLA program —
+            segment reductions + per-level two-key sort, built on-device),
+            or ``"reference"`` (exact reference idx permutation incl. tie
             order — quickselect semantics of ball_tree.rs:545-569).
         """
         self.metric = get_metric(metric)
@@ -97,15 +99,20 @@ class BallTree:
         n = self.points.shape[0]
         self._shape = tree_shape(n, leaf_size)
 
-        host_pts = np.asarray(self.points)
-        if builder == "vectorized":
-            data = ball_build.build_host_vectorized(host_pts, self._shape,
-                                                    self.metric)
-        elif builder == "reference":
-            data = ball_build.build_reference_order(host_pts, self._shape,
-                                                    self.metric)
+        if builder == "device":
+            from . import ball_build_device
+            data = ball_build_device.build_device(self.points, self._shape,
+                                                  self.metric)
         else:
-            raise ValueError(f"unknown builder {builder!r}")
+            host_pts = np.asarray(self.points)
+            if builder == "vectorized":
+                data = ball_build.build_host_vectorized(host_pts, self._shape,
+                                                        self.metric)
+            elif builder == "reference":
+                data = ball_build.build_reference_order(host_pts, self._shape,
+                                                        self.metric)
+            else:
+                raise ValueError(f"unknown builder {builder!r}")
         self._init_from_data(data)
 
     def _init_from_data(self, data: BallTreeData) -> None:

@@ -300,3 +300,25 @@ class TestNaNPolicy:
         idx, dist = t.query(np.zeros(2), 10)
         assert idx[-1] == 3
         assert np.isinf(dist[-1])
+
+
+class TestDeviceBuilder:
+    def test_device_matches_host_geometry(self, rng):
+        pts = rng.uniform(0, 1, (200, 5))
+        td = BallTree.euclidean(pts, leaf_size=8, builder="device")
+        th = BallTree.euclidean(pts, leaf_size=8, builder="vectorized")
+        np.testing.assert_allclose(np.asarray(td.nodes.centroids),
+                                   np.asarray(th.nodes.centroids), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(td.nodes.radii),
+                                   np.asarray(th.nodes.radii), atol=1e-9)
+        np.testing.assert_array_equal(td.idx, th.idx)
+
+    def test_device_build_query_oracle(self, rng):
+        pts = rng.uniform(0, 1, (150, 3))
+        qs = rng.uniform(0, 1, (10, 3))
+        t = BallTree.euclidean(pts, leaf_size=16, builder="device")
+        d, i = t.query_batch(qs, 5)
+        od = np.sqrt(((qs[:, None] - pts[None]) ** 2).sum(-1))
+        oi = np.argsort(od, axis=1)[:, :5]
+        for r in range(10):
+            assert set(np.asarray(i[r]).tolist()) == set(oi[r].tolist())

@@ -1,0 +1,78 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8 — the JAX fake-backend idiom that
+stands in for a TPU pod, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import pytest
+
+from petal_neighbors_tpu import parallel
+from petal_neighbors_tpu.ops import bruteforce as bf
+
+
+@pytest.fixture(scope="module")
+def mesh1d():
+    return parallel.default_mesh(8, ("shards",))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return parallel.default_mesh(8, ("q", "p"))
+
+
+def oracle(points, queries, k):
+    d, i = bf.knn(points, queries, k)
+    return np.asarray(d), np.asarray(i)
+
+
+class TestDeviceSetup:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+
+class TestQuerySharded:
+    def test_matches_single_device(self, rng, mesh1d):
+        pts = rng.uniform(0, 1, (300, 6))
+        qs = rng.uniform(0, 1, (41, 6))  # not divisible by 8 on purpose
+        d, i = parallel.knn_query_sharded(pts, qs, 5, mesh=mesh1d)
+        od, oi = oracle(pts, qs, 5)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+class TestPointsSharded:
+    def test_matches_single_device(self, rng, mesh1d):
+        pts = rng.uniform(0, 1, (301, 4))  # ragged shards
+        qs = rng.uniform(0, 1, (17, 4))
+        d, i = parallel.knn_points_sharded(pts, qs, 7, mesh=mesh1d)
+        od, oi = oracle(pts, qs, 7)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-12)
+        for r in range(17):
+            assert set(np.asarray(i)[r].tolist()) == set(oi[r].tolist())
+
+    def test_k_greater_than_shard(self, rng, mesh1d):
+        # k larger than any single shard's row count
+        pts = rng.uniform(0, 1, (40, 3))  # 5 rows/shard < k=20
+        qs = rng.uniform(0, 1, (4, 3))
+        d, i = parallel.knn_points_sharded(pts, qs, 20, mesh=mesh1d)
+        od, oi = oracle(pts, qs, 20)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-12)
+
+
+class TestRing:
+    def test_matches_single_device(self, rng, mesh2d):
+        pts = rng.uniform(0, 1, (222, 5))
+        qs = rng.uniform(0, 1, (33, 5))
+        d, i = parallel.knn_ring(pts, qs, 6, mesh=mesh2d)
+        od, oi = oracle(pts, qs, 6)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-12)
+        for r in range(33):
+            assert set(np.asarray(i)[r].tolist()) == set(oi[r].tolist())
+
+    def test_nan_padding_never_selected(self, rng, mesh2d):
+        pts = rng.uniform(0, 1, (10, 2))  # heavy padding: 10 -> 12 rows
+        qs = rng.uniform(0, 1, (5, 2))
+        d, i = parallel.knn_ring(pts, qs, 10, mesh=mesh2d)
+        i = np.asarray(i)
+        assert (i >= 0).all() and (i < 10).all()
+        assert np.isfinite(np.asarray(d)).all()
