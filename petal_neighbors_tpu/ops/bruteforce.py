@@ -39,10 +39,15 @@ RESCORE_SLACK = 8
 
 def knn(points, queries, k: int, metric: Metric | None = None,
         *, chunk: int | None = None, point_norms=None,
-        rescore: bool = True):
+        rescore: bool = True, backend: str = "auto"):
     """Public wrapper: resolves defaults, then dispatches to one jitted
     computation (a single device round-trip — essential when the device
-    sits behind a network tunnel)."""
+    sits behind a network tunnel).
+
+    ``backend``: "auto" uses the fused Pallas kernel on TPU for f32
+    high-dim Euclidean (measured ~5x the XLA scan path on SIFT-1M); "xla"
+    forces the portable path; "pallas" forces the kernel.
+    """
     metric = metric or Euclidean()
     points = jnp.asarray(points)
     queries = jnp.asarray(queries)
@@ -51,12 +56,99 @@ def knn(points, queries, k: int, metric: Metric | None = None,
     if k_eff == 0:
         return (jnp.zeros((queries.shape[0], 0), dtype=points.dtype),
                 jnp.zeros((queries.shape[0], 0), dtype=jnp.int32))
+    if backend != "xla" and _pallas_eligible(points, queries, k_eff, metric,
+                                             force=(backend == "pallas")):
+        try:
+            pp, pn = pad_for_pallas(points, point_norms)
+            return knn_pallas_prepadded(pp, pn, queries, k_eff, n)
+        except Exception:
+            if backend == "pallas":
+                raise
+            # remote-compile hiccups etc.: fall through to the XLA path
     c = _pick_chunk(n, queries.shape[0], points.shape[1], chunk)
     if point_norms is None:
         return _knn_jit(points, queries, k=k_eff, metric=metric, chunk=c,
                         rescore=rescore)
     return _knn_jit_norms(points, queries, point_norms, k=k_eff,
                           metric=metric, chunk=c, rescore=rescore)
+
+
+def _pallas_eligible(points, queries, k_eff, metric, force=False):
+    from .pallas.knn_kernel import pallas_available
+    hard = (isinstance(metric, Euclidean)          # kernel is sq-Euclidean
+            and points.dtype == jnp.float32
+            and queries.dtype == jnp.float32
+            and k_eff + RESCORE_SLACK <= 128)
+    if force:
+        if not hard:
+            raise ValueError(
+                "backend='pallas' requires Euclidean metric, f32 data and "
+                "k <= 120")
+        return True
+    return (hard
+            and points.shape[1] > DIRECT_DIM_MAX
+            and points.shape[0] >= 4096
+            and pallas_available())
+
+
+def pallas_tile_n(dim: int) -> int:
+    """Point-chunk tile length: shrinks at very high dim to fit VMEM."""
+    return 2048 if dim <= 256 else 512
+
+
+def pad_for_pallas(points, point_norms=None):
+    """NaN-pad points (+norms) to the kernel tile multiple, ONCE at index
+    build — per-query-call padding of a large corpus costs an extra HBM
+    copy of the whole index (measured ~2x on SIFT-1M)."""
+    n, dim = points.shape
+    tn = pallas_tile_n(dim)
+    npad = (-n) % tn
+    if npad:
+        points = jnp.pad(points, ((0, npad), (0, 0)),
+                         constant_values=jnp.nan)
+    if point_norms is None:
+        point_norms = jnp.sum(points * points, axis=-1)
+    elif npad:
+        point_norms = jnp.pad(point_norms, (0, npad),
+                              constant_values=jnp.nan)
+    return points, point_norms
+
+
+@partial(jax.jit, static_argnames=("k_eff", "n_real"))
+def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
+                         n_real: int):
+    """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
+
+    Exact: kernel gathers top-(k+slack) candidates, then the direct-form
+    re-score/re-rank restores exact-to-rounding distances (the same
+    accuracy scheme as the XLA path).  One jitted program = one dispatch
+    (each eager op costs a tunnel round-trip on remote devices).
+    """
+    from .pallas.knn_kernel import knn_pallas
+
+    dim = pts_padded.shape[1]
+    q = queries.shape[0]
+    tq = 256
+    tn = pallas_tile_n(dim)
+    k_scan = min(k_eff + RESCORE_SLACK, n_real)
+
+    qpad = (-q) % tq
+    qs = jnp.pad(queries, ((0, qpad), (0, 0)),
+                 constant_values=jnp.nan) if qpad else queries
+
+    rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq, tn=tn)
+    rd, idx = rd[:q], idx[:q]
+    points, n = pts_padded, n_real
+    # drop any padded-row ids (possible only when fewer than k_scan finite
+    # candidates exist, e.g. NaN points with k ~ n)
+    idx = jnp.where(idx < n, idx, -1)
+    # exact re-score with the direct form (same scheme as the XLA path)
+    cand = points[jnp.maximum(idx, 0)]
+    diff = queries[:, None, :] - cand
+    rd_exact = jnp.sum(diff * diff, axis=-1)
+    rd_exact = jnp.where(idx >= 0, nan_to_inf(rd_exact), jnp.inf)
+    best_rd, best_i = smallest_k(rd_exact, idx, k_eff)
+    return jnp.sqrt(best_rd), best_i
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))

@@ -31,6 +31,12 @@ class BruteForce:
             self.point_norms = jnp.sum(self.points * self.points, axis=-1)
         else:
             self.point_norms = None
+        # Pre-padded copies for the fused Pallas kernel (padding a large
+        # corpus per query call costs an extra full-index HBM copy)
+        self._pallas_pts = self._pallas_norms = None
+        if bf._pallas_eligible(self.points, self.points[:1], 1, self.metric):
+            self._pallas_pts, self._pallas_norms = bf.pad_for_pallas(
+                self.points, self.point_norms)
 
     @classmethod
     def euclidean(cls, points) -> "BruteForce":
@@ -74,6 +80,15 @@ class BruteForce:
     # -- batched API (the TPU path) ----------------------------------------
     def query_batch(self, queries, k: int, *, chunk: int | None = None):
         qs = check_query_batch(queries, self.dim, self.points.dtype)
+        k_eff = min(int(k), self.num_points)
+        if (self._pallas_pts is not None
+                and 1 <= k_eff <= 128 - bf.RESCORE_SLACK):
+            try:
+                return bf.knn_pallas_prepadded(
+                    self._pallas_pts, self._pallas_norms, qs, k_eff,
+                    self.num_points)
+            except Exception:
+                pass  # fall back to the portable path
         d, i = bf.knn(self.points, qs, k, self.metric, chunk=chunk,
                       point_norms=self.point_norms)
         return d, i
