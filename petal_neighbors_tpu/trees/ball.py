@@ -105,11 +105,25 @@ class BallTree:
                                                   self.metric)
         else:
             host_pts = np.asarray(self.points)
-            if builder == "vectorized":
+            if builder == "reference":
+                # prefer the native (C++) builder: identical semantics,
+                # no Python-level quickselect loops
+                from .. import native
+                nat = None
+                try:
+                    nat = native.ball_build(host_pts, self._shape.n_nodes,
+                                            self.metric)
+                except ValueError:
+                    nat = None  # metric unsupported natively
+                if nat is not None:
+                    c, r, idx = nat
+                    data = BallTreeData(centroids=c, radii=r, idx=idx,
+                                        shape=self._shape)
+                else:
+                    data = ball_build.build_reference_order(
+                        host_pts, self._shape, self.metric)
+            elif builder == "vectorized":
                 data = ball_build.build_host_vectorized(host_pts, self._shape,
-                                                        self.metric)
-            elif builder == "reference":
-                data = ball_build.build_reference_order(host_pts, self._shape,
                                                         self.metric)
             else:
                 raise ValueError(f"unknown builder {builder!r}")

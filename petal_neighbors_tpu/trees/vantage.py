@@ -201,7 +201,17 @@ class VantagePointTree:
         self.metric = get_metric(metric)
         self.points = check_points(points)
         host_pts = np.asarray(self.points)
-        vp, radius, near, far, root, depth = _build_host(host_pts, self.metric)
+        # native (C++) builder when available: same semantics, no
+        # per-node Python overhead (O(n) recursion steps)
+        built = None
+        try:
+            from .. import native
+            built = native.vp_build(host_pts, self.metric)
+        except Exception:
+            built = None
+        if built is None:
+            built = _build_host(host_pts, self.metric)
+        vp, radius, near, far, root, depth = built
         self.root = int(root)
         self._static = _VPStatic(n_nodes=len(vp), depth=int(depth))
         self._vp = jnp.asarray(vp, dtype=jnp.int32)
