@@ -19,6 +19,7 @@ from . import distance
 from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
 from .trees import BallTree, BruteForce, VantagePointTree
+from .utils.serialize import load_index, save_index
 
 __version__ = "0.1.0"
 
@@ -35,4 +36,6 @@ __all__ = [
     "BallTree",
     "VantagePointTree",
     "BruteForce",
+    "save_index",
+    "load_index",
 ]

@@ -28,8 +28,11 @@ __all__ = ["knn", "radius_mask", "radius_counts", "compact_mask"]
 def _pick_chunk(n: int, q: int, dim: int, chunk: int | None) -> int:
     if chunk is not None:
         return max(1, min(chunk, n))
-    # Aim for ~64 MB of distance tile per step (f32), power-of-two sized.
-    target = max(1, (64 << 20) // max(4 * q, 1))
+    # Aim for ~64 MB of per-step intermediate (f32), power-of-two sized.
+    # The low-dim direct path materializes (q, c, dim) differences, not
+    # just the (q, c) tile — account for it or chunks blow out HBM.
+    per_elem = 4 * (dim if dim <= DIRECT_DIM_MAX else 1)
+    target = max(1, (64 << 20) // max(per_elem * q, 1))
     c = 1 << min(int(math.log2(target)) if target > 1 else 0, 20)
     return max(128, min(c, n))
 
@@ -287,6 +290,7 @@ def radius_counts(mask):
     return jnp.sum(mask, axis=-1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cap",))
 def compact_mask(mask, cap: int):
     """Compact a (Q, n) boolean mask into (indices (Q, cap), counts (Q,)).
 

@@ -97,6 +97,7 @@ class BallTree:
         self.metric = get_metric(metric)
         self.points = check_points(points)
         n = self.points.shape[0]
+        self._leaf_size = leaf_size
         self._shape = tree_shape(n, leaf_size)
 
         if builder == "device":
@@ -155,6 +156,24 @@ class BallTree:
         """Convenience constructor (ball_tree.rs:356-374)."""
         return cls(points, Euclidean(), **kwargs)
 
+    @classmethod
+    def _from_arrays(cls, points, metric, leaf_size, centroids, radii, idx):
+        """Rehydrate from serialized arrays (utils.serialize) — no rebuild."""
+        self = cls.__new__(cls)
+        self.metric = get_metric(metric)
+        self.points = check_points(points)
+        self._leaf_size = leaf_size
+        self._shape = tree_shape(self.points.shape[0], leaf_size)
+        self._init_from_data(BallTreeData(
+            centroids=np.asarray(centroids), radii=np.asarray(radii),
+            idx=np.asarray(idx), shape=self._shape))
+        return self
+
+    def save(self, path) -> None:
+        """Checkpoint the index to an ``.npz`` (see utils.serialize)."""
+        from ..utils.serialize import save_index
+        save_index(self, path)
+
     # ------------------------------------------------------------------
     # single-query API (reference-shaped; ball_tree.rs:80-142)
     # ------------------------------------------------------------------
@@ -190,14 +209,22 @@ class BallTree:
     # ------------------------------------------------------------------
     # batched API (the TPU path)
     # ------------------------------------------------------------------
-    def query_batch(self, queries, k: int, *, chunk_leaves: int = 8):
-        """Exact batched k-NN: (distances, indices), each (Q, min(k, n))."""
+    def query_batch(self, queries, k: int, *, chunk_leaves: int = 8,
+                    with_stats: bool = False):
+        """Exact batched k-NN: (distances, indices), each (Q, min(k, n)).
+
+        ``with_stats=True`` additionally returns an observability dict
+        (SURVEY.md §5): chunks processed, per-query surviving-leaf counts,
+        prune ratios — the perf-debugging tool for lockstep traversal.
+        """
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.n)
         if k_eff == 0:
-            return (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
-                    jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
-        return self._knn(qs, k_eff, chunk_leaves=chunk_leaves)
+            empty = (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
+                     jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
+            return (*empty, {}) if with_stats else empty
+        return self._knn(qs, k_eff, chunk_leaves=chunk_leaves,
+                         with_stats=with_stats)
 
     def query_nearest_batch(self, queries):
         d, i = self.query_batch(queries, 1)
@@ -214,18 +241,21 @@ class BallTree:
         from ..ops.bruteforce import compact_mask
         return compact_mask(mask, cap)
 
-    def _knn(self, qs, k_eff: int, chunk_leaves: int = 8):
-        d, i = ball_query.knn_query(
+    def _knn(self, qs, k_eff: int, chunk_leaves: int = 8,
+             with_stats: bool = False):
+        return ball_query.knn_query(
             self._points_perm, self._perm_norms, self._orig_ids,
             self._leaf_centroids, self._leaf_radii, qs,
             k=k_eff, shape=self._shape, metric=self.metric,
-            chunk_leaves=chunk_leaves)
-        return d, i
+            chunk_leaves=chunk_leaves, with_stats=with_stats)
 
     def _radius_mask(self, qs, distance):
+        from ..ops.bruteforce import _pick_chunk
+        chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None)
         return ball_query.radius_query_mask(
             self._points_perm, self._pos_of_id, self._centroids, self._radii,
-            qs, distance, shape=self._shape, metric=self.metric)
+            qs, distance, shape=self._shape, metric=self.metric,
+            point_chunk=chunk)
 
     # ------------------------------------------------------------------
     # dual-tree node accessors (petal-clustering HDBSCAN consumers;

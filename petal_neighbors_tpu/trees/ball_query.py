@@ -52,10 +52,11 @@ def _leaf_tables(shape: TreeShape):
     return starts, counts
 
 
-@partial(jax.jit, static_argnames=("k", "shape", "chunk_leaves", "metric"))
+@partial(jax.jit, static_argnames=("k", "shape", "chunk_leaves", "metric",
+                                   "with_stats"))
 def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
               queries, *, k: int, shape: TreeShape, metric: Metric,
-              chunk_leaves: int = 8):
+              chunk_leaves: int = 8, with_stats: bool = False):
     """Exact batched k-NN over a built ball tree.
 
     Args:
@@ -152,7 +153,7 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     init = (jnp.full((q, k_scan), jnp.inf, dtype=dtype),
             jnp.full((q, k_scan), -1, dtype=jnp.int32),
             jnp.int32(0))
-    best_rd, best_pos, _ = jax.lax.while_loop(cond, body, init)
+    best_rd, best_pos, chunks_done = jax.lax.while_loop(cond, body, init)
 
     if do_rescore:
         cand = points_perm[jnp.maximum(best_pos, 0)]
@@ -162,7 +163,20 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
         best_rd, best_pos = smallest_k(rd_exact, best_pos, k)
 
     best_ii = jnp.where(best_pos >= 0, orig_ids[jnp.maximum(best_pos, 0)], -1)
-    return metric.rdistance_to_distance(best_rd), best_ii
+    dists = metric.rdistance_to_distance(best_rd)
+    if not with_stats:
+        return dists, best_ii
+    # observability (SURVEY.md §5): per-query pruning effectiveness
+    kth = dists[:, -1]
+    surviving = jnp.sum(lb <= kth[:, None], axis=1)     # leaves not prunable
+    stats = {
+        "n_leaves": jnp.int32(L),
+        "loop_chunks": chunks_done,                     # chunks processed
+        "chunk_leaves": jnp.int32(C),
+        "leaves_surviving_final_bound": surviving.astype(jnp.int32),
+        "prune_ratio": 1.0 - surviving / L,
+    }
+    return dists, best_ii, stats
 
 
 @partial(jax.jit, static_argnames=("shape", "metric", "point_chunk"))

@@ -42,6 +42,11 @@ class BruteForce:
     def euclidean(cls, points) -> "BruteForce":
         return cls(points, Euclidean())
 
+    def save(self, path) -> None:
+        """Checkpoint the index to an ``.npz`` (see utils.serialize)."""
+        from ..utils.serialize import save_index
+        save_index(self, path)
+
     @property
     def num_points(self) -> int:
         return self.points.shape[0]

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..distance import Euclidean, Metric, get_metric
 from ..ops import bruteforce as bf
-from ..ops.topk import merge_topk, nan_to_inf
+from ..ops.topk import nan_to_inf, smallest_k
 from ..utils.validation import check_points, check_query, check_query_batch
 from .ball_build import _np_rowwise_dist
 
@@ -127,12 +127,17 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
     stack = stack.at[:, 0].set(jnp.int32(root))
     sp = jnp.ones((q,), dtype=jnp.int32)
 
+    # UNSORTED top-k working set: per-step maintenance is a handful of
+    # (Q, k) elementwise ops instead of a TopK custom call — the loop body
+    # runs tens of thousands of lockstep iterations, so per-step cost is
+    # everything.  Sorted once at the end.
     best_d = jnp.full((q, k), jnp.inf, dtype=dtype)
     best_i = jnp.full((q, k), -1, dtype=jnp.int32)
     rows = jnp.arange(q)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
 
     def tau(bd):
-        return bd[:, -1]  # kth best (inf until filled)
+        return jnp.max(bd, axis=1)  # kth best (inf until filled)
 
     def cond(state):
         _, _, _, _, sp = state
@@ -154,10 +159,14 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
         r = radius[node]
         d = nan_to_inf(metric.rowwise_dist(queries, points[v]))  # (Q,)
 
-        # best update (reference :106-109, generalized to top-k)
-        cand_d = jnp.where(visit, d, jnp.inf)[:, None]
-        cand_i = jnp.where(visit, v, -1)[:, None].astype(jnp.int32)
-        best_d, best_i = merge_topk(cand_d, cand_i, best_d, best_i, k)
+        # best update (reference :106-109, generalized to top-k): replace
+        # the working set's per-query max when strictly better
+        cur_max = jnp.max(best_d, axis=1)
+        amax = jnp.argmax(best_d, axis=1).astype(jnp.int32)
+        take = visit & (d < cur_max)
+        sel = (kcol == amax[:, None]) & take[:, None]
+        best_d = jnp.where(sel, d[:, None], best_d)
+        best_i = jnp.where(sel, v[:, None].astype(jnp.int32), best_i)
 
         nr = near[node]
         fr = far[node]
@@ -188,7 +197,8 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
 
     best_d, best_i, *_ = jax.lax.while_loop(
         cond, body, (best_d, best_i, stack, keys, sp))
-    return best_d, best_i
+    # sort ascending once, at the end
+    return smallest_k(best_d, best_i, k)
 
 
 class VantagePointTree:
@@ -212,6 +222,9 @@ class VantagePointTree:
         if built is None:
             built = _build_host(host_pts, self.metric)
         vp, radius, near, far, root, depth = built
+        self._init_arrays(vp, radius, near, far, root, depth)
+
+    def _init_arrays(self, vp, radius, near, far, root, depth) -> None:
         self.root = int(root)
         self._static = _VPStatic(n_nodes=len(vp), depth=int(depth))
         self._vp = jnp.asarray(vp, dtype=jnp.int32)
@@ -226,6 +239,22 @@ class VantagePointTree:
     def euclidean(cls, points) -> "VantagePointTree":
         """Convenience constructor (vantage_point_tree.rs:31-37)."""
         return cls(points, Euclidean())
+
+    @classmethod
+    def _from_arrays(cls, points, metric, vp, radius, near, far, root,
+                     depth):
+        """Rehydrate from serialized arrays (utils.serialize) — no rebuild."""
+        self = cls.__new__(cls)
+        self.metric = get_metric(metric)
+        self.points = check_points(points)
+        self._init_arrays(np.asarray(vp), np.asarray(radius),
+                          np.asarray(near), np.asarray(far), root, depth)
+        return self
+
+    def save(self, path) -> None:
+        """Checkpoint the index to an ``.npz`` (see utils.serialize)."""
+        from ..utils.serialize import save_index
+        save_index(self, path)
 
     @property
     def n(self) -> int:

@@ -1,0 +1,93 @@
+"""Index checkpoint / resume.
+
+The reference has no persistence at all (no serde; indexes are ephemeral,
+SURVEY.md §5).  Here the flat SoA layout makes save/load a by-product:
+every index is points + a handful of dense arrays + static metadata, so a
+single ``.npz`` round-trips it exactly (bit-identical arrays, no rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..distance import Minkowski, get_metric
+
+__all__ = ["save_index", "load_index"]
+
+_FORMAT_VERSION = 1
+
+
+def _metric_spec(metric) -> str:
+    if isinstance(metric, Minkowski):
+        return json.dumps({"name": "minkowski", "p": metric.p})
+    return json.dumps({"name": metric.name})
+
+
+def _metric_from_spec(spec: str):
+    d = json.loads(spec)
+    name = d.pop("name")
+    return get_metric(name, **d)
+
+
+def save_index(index, path) -> None:
+    """Serialize a BallTree / VantagePointTree / BruteForce to ``path``."""
+    from ..trees.ball import BallTree
+    from ..trees.bruteforce import BruteForce
+    from ..trees.vantage import VantagePointTree
+
+    common = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "metric": _metric_spec(index.metric),
+        "points": np.asarray(index.points),
+    }
+    if isinstance(index, BallTree):
+        np.savez_compressed(
+            path, kind="ball", **common,
+            idx=np.asarray(index.idx),
+            centroids=np.asarray(index.nodes.centroids),
+            radii=np.asarray(index.nodes.radii),
+            leaf_size=np.int64(-1 if index._leaf_size is None
+                               else index._leaf_size))
+    elif isinstance(index, VantagePointTree):
+        np.savez_compressed(
+            path, kind="vantage", **common,
+            vp=index.nodes["vantage_point"],
+            radius=index.nodes["radius"],
+            near=index.nodes["near"],
+            far=index.nodes["far"],
+            root=np.int64(index.root),
+            depth=np.int64(index._static.depth))
+    elif isinstance(index, BruteForce):
+        np.savez_compressed(path, kind="brute", **common)
+    else:
+        raise TypeError(f"cannot serialize {type(index).__name__}")
+
+
+def load_index(path):
+    """Load an index saved by ``save_index`` (no rebuild: arrays are
+    restored bit-identically)."""
+    from ..trees.ball import BallTree
+    from ..trees.bruteforce import BruteForce
+    from ..trees.vantage import VantagePointTree
+
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["format_version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(f"unsupported index format v{version}")
+        kind = str(z["kind"])
+        metric = _metric_from_spec(str(z["metric"]))
+        points = z["points"]
+        if kind == "ball":
+            leaf = int(z["leaf_size"])
+            return BallTree._from_arrays(
+                points, metric, None if leaf < 0 else leaf,
+                z["centroids"], z["radii"], z["idx"])
+        if kind == "vantage":
+            return VantagePointTree._from_arrays(
+                points, metric, z["vp"], z["radius"], z["near"], z["far"],
+                int(z["root"]), int(z["depth"]))
+        if kind == "brute":
+            return BruteForce(points, metric)
+        raise ValueError(f"unknown index kind {kind!r}")

@@ -24,12 +24,25 @@ INT_DTYPE = jnp.int32
 _FLOAT_DTYPES = (np.float32, np.float64)
 
 
+def _f64_supported() -> bool:
+    """f64 compute is kept only where the backend supports it natively:
+    TPU f64 is emulated and pathologically slow (SURVEY.md §7 hard parts),
+    so f64 inputs are downcast to f32 there (documented numeric contract;
+    x64 must also be enabled for CPU f64)."""
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return platform not in ("tpu", "axon") and jax.config.jax_enable_x64
+
+
 def _as_float_dtype(dtype) -> np.dtype:
     dtype = np.dtype(dtype)
-    if dtype in (np.dtype(np.float32), np.dtype(np.float64)):
+    if dtype == np.dtype(np.float64):
+        return dtype if _f64_supported() else np.dtype(np.float32)
+    if dtype == np.dtype(np.float32):
         return dtype
-    if dtype == np.dtype(np.float16) or dtype == np.dtype("bfloat16"):
-        return np.dtype(np.float32)
     return np.dtype(np.float32)
 
 

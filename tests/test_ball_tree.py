@@ -322,3 +322,20 @@ class TestDeviceBuilder:
         oi = np.argsort(od, axis=1)[:, :5]
         for r in range(10):
             assert set(np.asarray(i[r]).tolist()) == set(oi[r].tolist())
+
+
+class TestQueryStats:
+    def test_stats_shape_and_sanity(self, rng):
+        pts = rng.uniform(0, 1, (256, 3))
+        qs = rng.uniform(0, 1, (10, 3))
+        t = BallTree.euclidean(pts, leaf_size=16)
+        d, i, stats = t.query_batch(qs, 5, with_stats=True)
+        assert int(stats["n_leaves"]) == t.shape.n_leaves
+        surv = np.asarray(stats["leaves_surviving_final_bound"])
+        assert surv.shape == (10,)
+        assert (surv >= 1).all() and (surv <= t.shape.n_leaves).all()
+        pr = np.asarray(stats["prune_ratio"])
+        assert ((pr >= 0) & (pr <= 1)).all()
+        # results identical to the no-stats path
+        d2, i2 = t.query_batch(qs, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))

@@ -1,0 +1,74 @@
+"""Checkpoint / resume tests: save -> load must restore indexes
+bit-identically (no rebuild) and preserve query results exactly."""
+
+import numpy as np
+import pytest
+
+from petal_neighbors_tpu import (
+    BallTree, BruteForce, Minkowski, VantagePointTree, load_index, save_index,
+)
+
+
+class TestBallRoundTrip:
+    def test_bit_identical(self, rng, tmp_path):
+        pts = rng.uniform(0, 1, (50, 3))
+        t = BallTree.euclidean(pts, leaf_size=8)
+        p = tmp_path / "ball.npz"
+        t.save(p)
+        t2 = load_index(p)
+        np.testing.assert_array_equal(t.idx, t2.idx)
+        np.testing.assert_array_equal(np.asarray(t.nodes.centroids),
+                                      np.asarray(t2.nodes.centroids))
+        np.testing.assert_array_equal(np.asarray(t.nodes.radii),
+                                      np.asarray(t2.nodes.radii))
+        assert t2.metric == t.metric
+        q = rng.uniform(0, 1, 3)
+        i1, d1 = t.query(q, 5)
+        i2, d2 = t2.query(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_reference_sizing_preserved(self, rng, tmp_path):
+        pts = rng.uniform(0, 1, (13, 2))
+        t = BallTree.euclidean(pts, leaf_size=None)
+        p = tmp_path / "b.npz"
+        t.save(p)
+        t2 = load_index(p)
+        assert t2.num_nodes() == t.num_nodes()
+
+    def test_minkowski_metric_round_trip(self, rng, tmp_path):
+        pts = rng.uniform(0, 1, (20, 3))
+        t = BallTree(pts, Minkowski(3.0), leaf_size=4)
+        p = tmp_path / "m.npz"
+        t.save(p)
+        t2 = load_index(p)
+        assert isinstance(t2.metric, Minkowski) and t2.metric.p == 3.0
+
+
+class TestVantageRoundTrip:
+    def test_structure_and_queries(self, rng, tmp_path):
+        pts = rng.uniform(0, 1, (40, 4))
+        v = VantagePointTree.euclidean(pts)
+        p = tmp_path / "vp.npz"
+        v.save(p)
+        v2 = load_index(p)
+        for key in ("vantage_point", "radius", "near", "far"):
+            np.testing.assert_array_equal(np.asarray(v.nodes[key]),
+                                          np.asarray(v2.nodes[key]))
+        assert v2.root == v.root
+        q = rng.uniform(0, 1, 4)
+        assert v.query_nearest(q) == v2.query_nearest(q)
+
+
+class TestBruteRoundTrip:
+    def test_round_trip(self, rng, tmp_path):
+        pts = rng.uniform(0, 1, (30, 3)).astype(np.float32)
+        b = BruteForce.euclidean(pts)
+        p = tmp_path / "bf.npz"
+        b.save(p)
+        b2 = load_index(p)
+        q = rng.uniform(0, 1, 3).astype(np.float32)
+        i1, d1 = b.query(q, 4)
+        i2, d2 = b2.query(q, 4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(d1, d2)
