@@ -241,6 +241,13 @@ class BallTree:
         from ..ops.bruteforce import compact_mask
         return compact_mask(mask, cap)
 
+    def query_radius_count_batch(self, queries, distance):
+        """Per-query neighbor counts only (the DBSCAN core-point test) —
+        no neighbor lists materialized or fetched."""
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        from ..ops.bruteforce import radius_counts
+        return radius_counts(self._radius_mask(qs, distance))
+
     def _knn(self, qs, k_eff: int, chunk_leaves: int = 8,
              with_stats: bool = False):
         return ball_query.knn_query(

@@ -339,3 +339,47 @@ class TestQueryStats:
         # results identical to the no-stats path
         d2, i2 = t.query_batch(qs, 5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+class TestGenericMetrics:
+    """The shared distance-kernel path under non-Euclidean metrics
+    (BASELINE config #5's generic Distance trait)."""
+
+    def test_cosine_tree_matches_bruteforce(self, rng):
+        from petal_neighbors_tpu import Cosine
+        pts = rng.standard_normal((120, 6))
+        qs = rng.standard_normal((12, 6))
+        t = BallTree(pts, Cosine(), leaf_size=8)
+        d, i = t.query_batch(qs, 5)
+        pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+        od = 1 - qn @ pn.T
+        oi = np.argsort(od, axis=1)[:, :5]
+        for r in range(12):
+            # cosine violates the triangle inequality, so ball pruning is
+            # heuristic in BOTH the reference and here; on this data the
+            # bounds hold and results must match brute force
+            assert set(np.asarray(i[r]).tolist()) == set(oi[r].tolist())
+
+    def test_minkowski_tree_matches_bruteforce(self, rng):
+        from petal_neighbors_tpu import Minkowski
+        pts = rng.uniform(0, 1, (100, 4))
+        qs = rng.uniform(0, 1, (10, 4))
+        t = BallTree(pts, Minkowski(3.0), leaf_size=8)
+        d, i = t.query_batch(qs, 4)
+        od = (np.abs(qs[:, None] - pts[None]) ** 3).sum(-1) ** (1 / 3)
+        oi = np.argsort(od, axis=1)[:, :4]
+        for r in range(10):
+            assert set(np.asarray(i[r]).tolist()) == set(oi[r].tolist())
+        np.testing.assert_allclose(
+            np.asarray(d), np.take_along_axis(od, oi, 1), rtol=1e-9)
+
+
+class TestRadiusCounts:
+    def test_counts_match_mask(self, rng):
+        pts = rng.uniform(0, 1, (90, 3))
+        qs = rng.uniform(0, 1, (7, 3))
+        t = BallTree.euclidean(pts, leaf_size=16)
+        counts = np.asarray(t.query_radius_count_batch(qs, 0.4))
+        mask = np.asarray(t.query_radius_batch(qs, 0.4))
+        np.testing.assert_array_equal(counts, mask.sum(1))
