@@ -33,7 +33,12 @@ def _sync(x):
 
 def _time(fn, reps=5, warmup=1):
     for _ in range(warmup):
-        fn()
+        out = fn()
+        if out is not None:
+            # sync the warmup too: first execution of a freshly compiled
+            # kernel through the remote tunnel can take tens of seconds
+            # and would otherwise bleed into the timed reps (async queue)
+            _sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()

@@ -167,6 +167,11 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             pltpu.VMEM((tq, k), jnp.float32),
             pltpu.VMEM((tq, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem cap is 16 MiB; the working set at
+            # tn=2048 with k ~ 40 needs ~18 MiB (v5e has far more VMEM)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,
             bytes_accessed=n * d * 4 + q * d * 4 + q * k * 8,
