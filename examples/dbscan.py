@@ -105,6 +105,6 @@ if __name__ == "__main__":
         rng.normal([0, 6], 0.2, (1500, 2)),
         rng.uniform(-3, 9, (200, 2)),           # background noise
     ]).astype(np.float32)
-    labels = dbscan(blobs, eps=0.3, min_samples=10)
+    labels = dbscan(blobs, eps=0.3, min_samples=10, cap=2048)
     uniq, cnt = np.unique(labels, return_counts=True)
     print("clusters:", {int(u): int(c) for u, c in zip(uniq, cnt)})

@@ -78,18 +78,15 @@ def knn(points, queries, k: int, metric: Metric | None = None,
 
 def _pallas_eligible(points, queries, k_eff, metric, force=False):
     from .pallas.knn_kernel import pallas_available
-    # The fused kernel's merge extracts one candidate per while-iteration
-    # (a full-tile VPU pass each): superb for small k, but at k ~ 100 the
-    # extraction passes dominate — measured slower than the XLA TopK scan.
     hard = (isinstance(metric, Euclidean)          # kernel is sq-Euclidean
             and points.dtype == jnp.float32
             and queries.dtype == jnp.float32
-            and k_eff + RESCORE_SLACK <= 48)
+            and k_eff + RESCORE_SLACK <= 128)
     if force:
         if not hard:
             raise ValueError(
                 "backend='pallas' requires Euclidean metric, f32 data and "
-                "k <= 40")
+                "k <= 120")
         return True
     return (hard
             and points.shape[1] > DIRECT_DIM_MAX

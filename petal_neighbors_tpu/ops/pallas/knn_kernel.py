@@ -47,6 +47,8 @@ def pallas_available() -> bool:
 def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
                 best_d, best_i, *, k: int, tn: int, n_real: int,
                 n_chunks: int):
+    """Small-k variant: each while-iteration re-scans the full tile for
+    its minimum (4 full-tile VPU passes per extracted candidate)."""
     nj = pl.program_id(1)
     tq = best_d.shape[0]
     kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
@@ -101,26 +103,105 @@ def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
 
     @pl.when(nj == n_chunks - 1)
     def _():
-        # sort the working set ascending by k passes of min-extraction
-        bd = best_d[:]
-        bi = best_i[:]
-        od = jnp.zeros((tq, k), dtype=jnp.float32)
-        oi = jnp.zeros((tq, k), dtype=jnp.int32)
-        for j in range(k):
-            m = jnp.min(bd, axis=1)
-            am = jnp.argmin(bd, axis=1).astype(jnp.int32)
-            idx_at = jnp.sum(
-                jnp.where(kcol == am[:, None], bi, 0), axis=1)
-            od = jnp.where(kcol == j, m[:, None], od)
-            oi = jnp.where(kcol == j, idx_at[:, None], oi)
-            bd = jnp.where(kcol == am[:, None], jnp.inf, bd)
+        od, oi = _sort_working_set(best_d[:], best_i[:], k)
         out_d_ref[:] = od
         out_i_ref[:] = oi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret"))
+def _sort_working_set(bd, bi, k: int):
+    """Sort the (TQ, k) unsorted working set ascending by k passes of
+    min-extraction (runs once per query tile, at the last chunk)."""
+    tq = bd.shape[0]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    od = jnp.zeros((tq, k), dtype=bd.dtype)
+    oi = jnp.zeros((tq, k), dtype=jnp.int32)
+    for j in range(k):
+        m = jnp.min(bd, axis=1)
+        am = jnp.argmin(bd, axis=1).astype(jnp.int32)
+        idx_at = jnp.sum(jnp.where(kcol == am[:, None], bi, 0), axis=1)
+        od = jnp.where(kcol == j, m[:, None], od)
+        oi = jnp.where(kcol == j, idx_at[:, None], oi)
+        bd = jnp.where(kcol == am[:, None], jnp.inf, bd)
+    return od, oi
+
+
+SUBTILE = 128
+
+
+def _knn_kernel_grouped(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
+                        best_d, best_i, *, k: int, tn: int, n_real: int,
+                        n_chunks: int):
+    """Large-k variant: sub-tiled extraction.
+
+    The (TQ, TN) distance tile is processed as TN/128 column sub-tiles,
+    each with its own threshold check + extraction while-loop over only
+    (TQ, 128) lanes.  Per extracted candidate the cost drops from a
+    full-tile pass to a 128-lane pass (TN/128 x cheaper), which keeps
+    per-query extraction counts of ~k*ln(chunks) affordable at k ~ 100.
+    (Mosaic lowers no dynamic row-gather, so the group-cache scheme is
+    expressed as static sub-tile slices instead.)
+    """
+    nj = pl.program_id(1)
+    tq = best_d.shape[0]
+    G = tn // SUBTILE
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    csub = jax.lax.broadcasted_iota(jnp.int32, (tq, SUBTILE), 1)
+
+    @pl.when(nj == 0)
+    def _():
+        best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
+        best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
+
+    s = jnp.dot(q_ref[:], p_ref[:].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    rd = qn_ref[:].T + xn_ref[:] - 2.0 * s
+    rd = jnp.maximum(rd, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, rd.shape, 1)
+    gid = nj * tn + col
+    valid = (gid < n_real) & ~jnp.isnan(rd)
+    rd = jnp.where(valid, rd, jnp.inf)
+
+    bd = best_d[:]
+    bi = best_i[:]
+    for g in range(G):
+        sub = rd[:, g * SUBTILE:(g + 1) * SUBTILE]       # static slice
+        base = nj * tn + g * SUBTILE
+
+        def _cond(state, _sub=sub):
+            r, bd, _ = state
+            tau = jnp.max(bd, axis=1)
+            return jnp.any(r < tau[:, None])
+
+        def _body(state, _base=base):
+            r, bd, bi = state
+            m = jnp.min(r, axis=1)
+            am = jnp.argmin(r, axis=1).astype(jnp.int32)
+            r = jnp.where(csub == am[:, None], jnp.inf, r)
+            cur_max = jnp.max(bd, axis=1)
+            amax = jnp.argmax(bd, axis=1).astype(jnp.int32)
+            take = m < cur_max
+            sel = (kcol == amax[:, None]) & take[:, None]
+            bd = jnp.where(sel, m[:, None], bd)
+            bi = jnp.where(sel, (_base + am)[:, None], bi)
+            return r, bd, bi
+
+        _, bd, bi = jax.lax.while_loop(_cond, _body, (sub, bd, bi))
+
+    best_d[:] = bd
+    best_i[:] = bi
+
+    @pl.when(nj == n_chunks - 1)
+    def _():
+        od, oi = _sort_working_set(best_d[:], best_i[:], k)
+        out_d_ref[:] = od
+        out_i_ref[:] = oi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
+                                             "grouped"))
 def knn_pallas(points, queries, point_norms, *, k: int,
-               tq: int = 256, tn: int = 2048, interpret: bool = False):
+               tq: int = 256, tn: int = 2048, interpret: bool = False,
+               grouped: bool | None = None):
     """Exact k-NN via the fused Pallas kernel (squared-Euclidean).
 
     Caller contract: N % tn == 0, Q % tq == 0 (pad with NaN rows — they
@@ -136,7 +217,10 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     qn = jnp.sum(queries * queries, axis=-1)[None, :]     # (1, Q)
     xn = point_norms[None, :]                              # (1, N)
 
-    kernel = functools.partial(_knn_kernel, k=k, tn=tn, n_real=n,
+    if grouped is None:
+        grouped = k > 16
+    body = _knn_kernel_grouped if grouped else _knn_kernel
+    kernel = functools.partial(body, k=k, tn=tn, n_real=n,
                                n_chunks=n_chunks)
 
     grid = (q // tq, n_chunks)
