@@ -22,6 +22,7 @@ from .api import (
     knn_points_sharded,
     knn_query_sharded,
     knn_ring,
+    tree_query_sharded,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "knn_query_sharded",
     "knn_points_sharded",
     "knn_ring",
+    "tree_query_sharded",
 ]

@@ -20,7 +20,7 @@ from ..ops import bruteforce as bf
 from ..ops.topk import smallest_k
 
 __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
-           "knn_ring"]
+           "knn_ring", "tree_query_sharded"]
 
 
 def default_mesh(n_devices: int | None = None,
@@ -72,6 +72,45 @@ def knn_query_sharded(points, queries, k: int, metric: Metric | None = None,
         return bf.knn(pts, qs, k_eff, metric)
 
     d, i = run(points, qpad)
+    return d[: queries.shape[0]], i[: queries.shape[0]]
+
+
+def tree_query_sharded(tree, queries, k: int, *, mesh: Mesh,
+                       axis: str = "shards", chunk_leaves: int = 8):
+    """Query-DP over a replicated **BallTree**: each device runs the
+    lockstep tree traversal for its own query shard (and stops pruning
+    independently — no cross-device sync inside the loop).
+
+    Returns (distances, indices) for all queries, exact.
+    """
+    from ..trees import ball_query
+
+    queries = jnp.asarray(queries, dtype=tree.points.dtype)
+    k_eff = min(int(k), tree.n)
+    nd = mesh.shape[axis]
+    qpad = _pad_rows_nan(queries, nd)
+    norms = tree._perm_norms
+    has_norms = norms is not None
+    in_specs = ((P(), P(), P(), P(), P(), P(axis))
+                if has_norms else (P(), P(), P(), P(), P(axis)))
+
+    def run(*args):
+        if has_norms:
+            pp, pn, oi, lc, lr, qs = args
+        else:
+            pp, oi, lc, lr, qs = args
+            pn = None
+        return ball_query.knn_query(
+            pp, pn, oi, lc, lr, qs, k=k_eff, shape=tree.shape,
+            metric=tree.metric, chunk_leaves=chunk_leaves)
+
+    run = jax.shard_map(run, mesh=mesh, check_vma=False,
+                        in_specs=in_specs, out_specs=(P(axis), P(axis)))
+    args = ((tree._points_perm, norms, tree._orig_ids, tree._leaf_centroids,
+             tree._leaf_radii, qpad) if has_norms else
+            (tree._points_perm, tree._orig_ids, tree._leaf_centroids,
+             tree._leaf_radii, qpad))
+    d, i = run(*args)
     return d[: queries.shape[0]], i[: queries.shape[0]]
 
 

@@ -76,3 +76,15 @@ class TestRing:
         i = np.asarray(i)
         assert (i >= 0).all() and (i < 10).all()
         assert np.isfinite(np.asarray(d)).all()
+
+
+class TestTreeQuerySharded:
+    def test_matches_single_device(self, rng, mesh1d):
+        from petal_neighbors_tpu import BallTree, parallel
+        pts = rng.uniform(0, 1, (400, 3))
+        qs = rng.uniform(0, 1, (29, 3))  # ragged on purpose
+        tree = BallTree.euclidean(pts, leaf_size=16)
+        d, i = parallel.tree_query_sharded(tree, qs, 6, mesh=mesh1d)
+        d1, i1 = tree.query_batch(qs, 6)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d1), rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
