@@ -19,6 +19,7 @@ XLA collectives over ICI:
 
 from .api import (
     default_mesh,
+    init_distributed,
     knn_points_sharded,
     knn_query_sharded,
     knn_ring,
@@ -27,6 +28,7 @@ from .api import (
 
 __all__ = [
     "default_mesh",
+    "init_distributed",
     "knn_query_sharded",
     "knn_points_sharded",
     "knn_ring",

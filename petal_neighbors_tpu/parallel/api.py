@@ -23,6 +23,21 @@ __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
            "knn_ring", "tree_query_sharded"]
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialization (thin wrapper over
+    ``jax.distributed.initialize``).
+
+    On a multi-host pod slice call this once per host before building
+    meshes; ``default_mesh`` then sees every chip in the slice and the
+    same sharded-search code runs unchanged — collectives ride ICI within
+    a slice and DCN across slices (no custom transport, SURVEY.md §2.7).
+    Single-host (including this CI environment) never needs it.
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def default_mesh(n_devices: int | None = None,
                  axis_names=("shards",)) -> Mesh:
     """A 1-D (or factored) mesh over the first ``n_devices`` devices."""
