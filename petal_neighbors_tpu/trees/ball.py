@@ -209,7 +209,7 @@ class BallTree:
     # ------------------------------------------------------------------
     # batched API (the TPU path)
     # ------------------------------------------------------------------
-    def query_batch(self, queries, k: int, *, chunk_leaves: int = 8,
+    def query_batch(self, queries, k: int, *, chunk_leaves: int = 4,
                     with_stats: bool = False):
         """Exact batched k-NN: (distances, indices), each (Q, min(k, n)).
 
@@ -248,7 +248,7 @@ class BallTree:
         from ..ops.bruteforce import radius_counts
         return radius_counts(self._radius_mask(qs, distance))
 
-    def _knn(self, qs, k_eff: int, chunk_leaves: int = 8,
+    def _knn(self, qs, k_eff: int, chunk_leaves: int = 4,
              with_stats: bool = False):
         return ball_query.knn_query(
             self._points_perm, self._perm_norms, self._orig_ids,

@@ -42,6 +42,31 @@ def _bound_slack(dtype) -> float:
     return 4e-6 if np.dtype(dtype) == np.float32 else 1e-13
 
 
+def _guarded_centroid_dist(queries, centroids, metric: Metric):
+    """Centroid distances for PRUNING BOUNDS: always the MXU matmul form,
+    deflated by an explicit rounding-error bound so the result is a valid
+    LOWER bound on the true distance.
+
+    Bounds don't need exact distances — they need `lb <= true distance`.
+    The ||q||^2+||c||^2-2qc form loses absolute accuracy ~eps*(|q|^2+|c|^2)
+    to cancellation; subtracting that bound (in the rdist domain) before
+    the sqrt restores validity while keeping the (Q, L) matrix on the MXU
+    — the broadcast (Q, L, d) difference form is pathologically tiled on
+    TPU at small d (last dim << 128 lanes).
+    """
+    if not isinstance(metric, Euclidean):
+        return metric.rdistance_to_distance(metric.rdist(queries, centroids))
+    q = jnp.asarray(queries)
+    c = jnp.asarray(centroids)
+    qn = jnp.sum(q * q, axis=-1)
+    cn = jnp.sum(c * c, axis=-1)
+    cross = jnp.dot(q, c.T, precision=jax.lax.Precision.HIGHEST)
+    rd = qn[:, None] + cn[None, :] - 2.0 * cross
+    eps = jnp.finfo(q.dtype).eps
+    guard = 4.0 * eps * (qn[:, None] + cn[None, :])
+    return jnp.sqrt(jnp.maximum(rd - guard, 0.0))
+
+
 def _leaf_tables(shape: TreeShape):
     """Static leaf geometry (+1 sentinel row for chunk padding)."""
     lo = shape.n_leaves - 1
@@ -56,7 +81,7 @@ def _leaf_tables(shape: TreeShape):
                                    "with_stats"))
 def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
               queries, *, k: int, shape: TreeShape, metric: Metric,
-              chunk_leaves: int = 8, with_stats: bool = False):
+              chunk_leaves: int = 4, with_stats: bool = False):
     """Exact batched k-NN over a built ball tree.
 
     Args:
@@ -76,7 +101,7 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     dtype = points_perm.dtype
 
     # --- Phase 1: bounds to every leaf ball, one MXU matmul --------------
-    d_c = metric.rdistance_to_distance(metric.rdist(queries, leaf_centroids))
+    d_c = _guarded_centroid_dist(queries, leaf_centroids, metric)
     lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)        # (Q, L)
     lb = jnp.maximum(lb - _bound_slack(dtype) * (d_c + leaf_radii[None, :]), 0.0)
     # NaN bounds never prune in the reference (NaN > r is false,
