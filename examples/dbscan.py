@@ -41,9 +41,11 @@ def dbscan(points, eps: float, min_samples: int, *, batch: int = 4096,
            cap: int = 1024):
     """Exact DBSCAN labels (NOISE = -1).
 
-    Semantics match the classic algorithm with inclusive ε (d <= eps,
-    the reference's documented radius contract, ball_tree.rs:123-124):
-    core point = |N_eps(p)| >= min_samples (self included); clusters are
+    Neighborhood semantics are the BallTree radius rules (the reference's
+    exact behavior, ball_tree.rs:271-277): a point at exactly distance eps
+    is included only when its whole leaf ball lies within eps (inclusive
+    subtree take); leaf-scanned points use the strict d < eps filter.
+    Core point = |N_eps(p)| >= min_samples (self included); clusters are
     connected components of core points within eps; border points join
     an arbitrary adjacent core cluster.
     """

@@ -46,3 +46,23 @@ def merge_topk(d1, i1, d2, i2, k: int):
     d = jnp.concatenate([d1, d2], axis=-1)
     i = jnp.concatenate([i1, i2], axis=-1)
     return smallest_k(d, i, k)
+
+
+def rescore_exact(points, queries, idx, k: int):
+    """Re-score candidate ids with the direct (q-x)^2 form and re-rank.
+
+    The matmul distance form loses absolute accuracy ~eps*(|q|^2+|x|^2) to
+    cancellation; every matmul-candidate path funnels its top-(k+slack)
+    through this single helper to restore exact-to-rounding distances.
+    ``idx`` entries < 0 (or >= len(points)) are treated as missing.
+
+    Returns (rdist, idx) ascending, shapes (..., k).
+    """
+    n = points.shape[0]
+    ok = (idx >= 0) & (idx < n)
+    safe = jnp.where(ok, idx, 0)
+    cand = points[safe]                                # (..., k_in, d)
+    diff = queries[..., None, :] - cand
+    rd = jnp.sum(diff * diff, axis=-1)
+    rd = jnp.where(ok, nan_to_inf(rd), jnp.inf)
+    return smallest_k(rd, jnp.where(ok, idx, -1), k)

@@ -106,23 +106,23 @@ def tree_query_sharded(tree, queries, k: int, *, mesh: Mesh,
     qpad = _pad_rows_nan(queries, nd)
     norms = tree._perm_norms
     has_norms = norms is not None
-    in_specs = ((P(), P(), P(), P(), P(), P(axis))
+    in_specs = ((P(), P(), P(), P(), P(), P(), P(axis))
                 if has_norms else (P(), P(), P(), P(), P(axis)))
 
     def run(*args):
         if has_norms:
-            pp, pn, oi, lc, lr, qs = args
+            pp, pn, oi, lc, lr, ctr, qs = args
         else:
             pp, oi, lc, lr, qs = args
-            pn = None
+            pn = ctr = None
         return ball_query.knn_query(
-            pp, pn, oi, lc, lr, qs, k=k_eff, shape=tree.shape,
+            pp, pn, oi, lc, lr, qs, ctr, k=k_eff, shape=tree.shape,
             metric=tree.metric, chunk_leaves=chunk_leaves)
 
     run = jax.shard_map(run, mesh=mesh, check_vma=False,
                         in_specs=in_specs, out_specs=(P(axis), P(axis)))
     args = ((tree._points_perm, norms, tree._orig_ids, tree._leaf_centroids,
-             tree._leaf_radii, qpad) if has_norms else
+             tree._leaf_radii, tree._qcenter, qpad) if has_norms else
             (tree._points_perm, tree._orig_ids, tree._leaf_centroids,
              tree._leaf_radii, qpad))
     d, i = run(*args)
@@ -157,7 +157,10 @@ def knn_points_sharded(points, queries, k: int, metric: Metric | None = None,
     def run(pts_shard, qs):
         base = jax.lax.axis_index(axis) * rows
         d, i = bf.knn(pts_shard, qs, k_local, metric)
-        gi = jnp.where(i >= 0, i + base, -1)
+        # NaN padding rows sit at inf distance; at inf TIES (real NaN
+        # points) they can still be selected — mask any id that lands in
+        # the padded tail so no out-of-range index ever escapes
+        gi = jnp.where((i >= 0) & (i + base < n), i + base, -1)
         all_d = jax.lax.all_gather(d, axis)          # (P, Q, k_local)
         all_i = jax.lax.all_gather(gi, axis)
         q = qs.shape[0]
@@ -209,7 +212,8 @@ def knn_ring(points, queries, k: int, metric: Metric | None = None,
         def step(carry, _):
             best_d, best_i, pts, base = carry
             d, i = bf.knn(pts, qs_shard, k_local, metric)
-            gi = jnp.where(i >= 0, i + base, -1)
+            # same padded-tail guard as knn_points_sharded
+            gi = jnp.where((i >= 0) & (i + base < n), i + base, -1)
             best_d, best_i = smallest_k(
                 jnp.concatenate([d, best_d], axis=1),
                 jnp.concatenate([gi, best_i], axis=1), k_eff)

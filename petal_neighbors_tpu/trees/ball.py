@@ -143,9 +143,14 @@ class BallTree:
         inv[self.idx] = np.arange(len(self.idx))
         self._pos_of_id = jnp.asarray(inv, dtype=jnp.int32)
         if isinstance(self.metric, Euclidean):
-            self._perm_norms = jnp.sum(self._points_perm * self._points_perm,
-                                       axis=-1)
+            # matmul-form computations run on centered values for
+            # exactness (ops.bruteforce.center_of); norms match that
+            from ..ops.bruteforce import center_of
+            self._qcenter = center_of(self.points)
+            centered = self._points_perm - self._qcenter
+            self._perm_norms = jnp.sum(centered * centered, axis=-1)
         else:
+            self._qcenter = None
             self._perm_norms = None
         lo = self._shape.leaf_offset
         self._leaf_centroids = self._centroids[lo:]
@@ -252,13 +257,14 @@ class BallTree:
              with_stats: bool = False):
         return ball_query.knn_query(
             self._points_perm, self._perm_norms, self._orig_ids,
-            self._leaf_centroids, self._leaf_radii, qs,
+            self._leaf_centroids, self._leaf_radii, qs, self._qcenter,
             k=k_eff, shape=self._shape, metric=self.metric,
             chunk_leaves=chunk_leaves, with_stats=with_stats)
 
     def _radius_mask(self, qs, distance):
         from ..ops.bruteforce import _pick_chunk
-        chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None)
+        # the radius path uses the direct difference form at every dim
+        chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None, direct=True)
         return ball_query.radius_query_mask(
             self._points_perm, self._pos_of_id, self._centroids, self._radii,
             qs, distance, shape=self._shape, metric=self.metric,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
-from ..ops.topk import merge_topk, nan_to_inf, smallest_k
+from ..ops.topk import merge_topk, nan_to_inf, rescore_exact, smallest_k
 from ..utils.tree_math import TreeShape
 
 __all__ = ["knn_query", "radius_query_mask"]
@@ -80,16 +80,22 @@ def _leaf_tables(shape: TreeShape):
 @partial(jax.jit, static_argnames=("k", "shape", "chunk_leaves", "metric",
                                    "with_stats"))
 def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
-              queries, *, k: int, shape: TreeShape, metric: Metric,
-              chunk_leaves: int = 4, with_stats: bool = False):
+              queries, center=None, *, k: int, shape: TreeShape,
+              metric: Metric, chunk_leaves: int = 4,
+              with_stats: bool = False):
     """Exact batched k-NN over a built ball tree.
 
     Args:
-      points_perm: (n, d) points in tree (idx) order.
-      perm_norms: (n,) squared norms of points_perm (Euclidean) or None.
+      points_perm: (n, d) points in tree (idx) order (original values).
+      perm_norms: (n,) squared norms of the CENTERED permuted points
+        (Euclidean) or None.
       orig_ids: (n,) original point id at each permuted position.
       leaf_centroids / leaf_radii: (L, d) / (L,) leaf-ball geometry.
       queries: (Q, d).
+      center: (d,) dataset mean or None — every matmul-form computation
+        (bounds, high-dim leaf scan) runs on centered values for
+        exactness (see ops.bruteforce.center_of); the final rescore uses
+        the original values.
       k: static; caller guarantees 1 <= k <= n.
 
     Returns (distances, indices): (Q, k) ascending, exact.
@@ -99,9 +105,11 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     L = shape.n_leaves
     max_leaf = shape.max_leaf_points
     dtype = points_perm.dtype
+    qc = queries if center is None else queries - center
+    lc = leaf_centroids if center is None else leaf_centroids - center
 
     # --- Phase 1: bounds to every leaf ball, one MXU matmul --------------
-    d_c = _guarded_centroid_dist(queries, leaf_centroids, metric)
+    d_c = _guarded_centroid_dist(qc, lc, metric)
     lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)        # (Q, L)
     lb = jnp.maximum(lb - _bound_slack(dtype) * (d_c + leaf_radii[None, :]), 0.0)
     # NaN bounds never prune in the reference (NaN > r is false,
@@ -126,7 +134,7 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
 
     use_norms = isinstance(metric, Euclidean) and perm_norms is not None
     if use_norms:
-        qn = jnp.sum(queries * queries, axis=-1)            # (Q,)
+        qn = jnp.sum(qc * qc, axis=-1)                      # (Q,) centered
 
     m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
 
@@ -154,7 +162,9 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
             diff = pts - queries[:, None, None, :]
             rd = jnp.sum(diff * diff, axis=-1)
         elif use_norms:
-            cross = jnp.einsum("qd,qcmd->qcm", queries, pts,
+            # matmul form on CENTERED values (perm_norms are centered)
+            pts_c = pts if center is None else pts - center
+            cross = jnp.einsum("qd,qcmd->qcm", qc, pts_c,
                                precision=jax.lax.Precision.HIGHEST)
             rd = jnp.maximum(
                 qn[:, None, None] + perm_norms[pos] - 2.0 * cross, 0.0)
@@ -181,11 +191,8 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     best_rd, best_pos, chunks_done = jax.lax.while_loop(cond, body, init)
 
     if do_rescore:
-        cand = points_perm[jnp.maximum(best_pos, 0)]
-        diff = queries[:, None, :] - cand
-        rd_exact = jnp.sum(diff * diff, axis=-1)
-        rd_exact = jnp.where(best_pos >= 0, nan_to_inf(rd_exact), jnp.inf)
-        best_rd, best_pos = smallest_k(rd_exact, best_pos, k)
+        # exact rescore on the ORIGINAL (uncentered) values
+        best_rd, best_pos = rescore_exact(points_perm, queries, best_pos, k)
 
     best_ii = jnp.where(best_pos >= 0, orig_ids[jnp.maximum(best_pos, 0)], -1)
     dists = metric.rdistance_to_distance(best_rd)
@@ -204,6 +211,33 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     return dists, best_ii, stats
 
 
+def _direct_dist_chunked(queries, rows, metric: Metric, chunk: int):
+    """(Q, m) distances via the DIRECT difference form, streamed over row
+    chunks — exact to rounding at any dim.  Radius semantics (strict d < r
+    vs inclusive ub <= r boundary rules) demand the reference's own
+    arithmetic, not the matmul form whose cancellation error flips
+    boundary membership (the error bound exceeds |d - r| near the
+    boundary; measured 400k+ wrong cells on un-centered 128-d data)."""
+    q = queries.shape[0]
+    m, dim = rows.shape
+    c = max(1, min(chunk, m))
+    n_chunks = -(-m // c)
+    m_pad = n_chunks * c
+    rows_p = jnp.pad(rows, ((0, m_pad - m), (0, 0))) if m_pad != m else rows
+    chunks = rows_p.reshape(n_chunks, c, dim)
+
+    def body(_, pc):
+        if isinstance(metric, Euclidean):
+            diff = queries[:, None, :] - pc[None, :, :]
+            rd = jnp.sum(diff * diff, axis=-1)
+        else:
+            rd = metric.rdist(queries, pc)
+        return None, metric.rdistance_to_distance(rd)
+
+    _, out = jax.lax.scan(body, None, chunks)
+    return jnp.moveaxis(out, 0, 1).reshape(q, m_pad)[:, :m]
+
+
 @partial(jax.jit, static_argnames=("shape", "metric", "point_chunk"))
 def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
                       queries, radius, *, shape: TreeShape, metric: Metric,
@@ -211,6 +245,10 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
     """Batched radius search returning a (Q, n) membership mask in
     **original point-id order**, with the reference's exact boundary rules
     (inclusive subtree take, strict leaf filter: ball_tree.rs:250-294).
+
+    All distances use the direct difference form (the reference's own
+    arithmetic): boundary comparisons are two-sided here, so neither a
+    deflated nor an inflated matmul bound preserves the semantics.
 
     ``orig_pos_of_id[j]`` = permuted position of original point j
     (the inverse of the idx permutation).
@@ -220,8 +258,8 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
     dtype = points_perm.dtype
     r = jnp.asarray(radius, dtype=dtype)
 
-    # bounds for ALL nodes at once
-    d_node = metric.rdistance_to_distance(metric.rdist(queries, centroids))
+    # bounds for ALL nodes, exact direct form, chunked over nodes
+    d_node = _direct_dist_chunked(queries, centroids, metric, point_chunk)
     lb = jnp.maximum(d_node - radii[None, :], 0.0)           # (Q, N)
     ub = d_node + radii[None, :]
 
@@ -261,7 +299,13 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
 
     def body(_, chunk_in):
         pts, base = chunk_in
-        rdm = nan_to_inf(metric.rdist(queries, pts))
+        if isinstance(metric, Euclidean):
+            # direct form at any dim: the strict d < r boundary must use
+            # the reference's exact arithmetic
+            diff = queries[:, None, :] - pts[None, :, :]
+            rdm = nan_to_inf(jnp.sum(diff * diff, axis=-1))
+        else:
+            rdm = nan_to_inf(metric.rdist(queries, pts))
         m = (rdm < rr) & ((base + col)[None, :] < n)         # strict (:277)
         return None, m
 

@@ -24,11 +24,20 @@ class BruteForce:
 
     def __init__(self, points, metric: Metric | str = "euclidean"):
         self.metric = get_metric(metric)
-        self.points = check_points(points)
-        # Index-resident squared norms: half of the ||q||^2+||x||^2-2qx
-        # decomposition is paid once at build time.
+        self.points = check_points(points)         # public, original data
+        # The matmul distance form needs centered data for exactness
+        # (ops.bruteforce.center_of) and index-resident squared norms;
+        # both are paid once at build time.  Distances are unchanged
+        # (translation invariance); low-dim paths use the direct form.
+        self._center = None
+        self._qpoints = self.points                # what queries run against
         if isinstance(self.metric, Euclidean):
-            self.point_norms = jnp.sum(self.points * self.points, axis=-1)
+            from ..distance import DIRECT_DIM_MAX
+            if self.points.shape[1] > DIRECT_DIM_MAX:
+                self._center = bf.center_of(self.points)
+                self._qpoints = self.points - self._center
+            self.point_norms = jnp.sum(self._qpoints * self._qpoints,
+                                       axis=-1)
         else:
             self.point_norms = None
         # Pre-padded copies for the fused Pallas kernel (padding a large
@@ -36,7 +45,7 @@ class BruteForce:
         self._pallas_pts = self._pallas_norms = None
         if bf._pallas_eligible(self.points, self.points[:1], 1, self.metric):
             self._pallas_pts, self._pallas_norms = bf.pad_for_pallas(
-                self.points, self.point_norms)
+                self._qpoints, self.point_norms)
 
     @classmethod
     def euclidean(cls, points) -> "BruteForce":
@@ -55,20 +64,24 @@ class BruteForce:
     def dim(self) -> int:
         return self.points.shape[1]
 
+    def _q(self, qs):
+        """Center queries to match the index's centered representation."""
+        return qs if self._center is None else qs - self._center
+
     # -- single-query API (reference-shaped) ------------------------------
     def query_nearest(self, point):
         """(index, distance) of the nearest point (ball_tree.rs:80-87)."""
         q = check_query(point, self.dim, self.points.dtype)
-        d, i = bf.knn(self.points, q[None, :], 1, self.metric,
-                      point_norms=self.point_norms)
+        d, i = bf.knn(self._qpoints, self._q(q[None, :]), 1, self.metric,
+                      point_norms=self.point_norms, assume_centered=True)
         return int(i[0, 0]), float(d[0, 0])
 
     def query(self, point, k: int):
         """(indices, distances), ascending; k=0 -> empty; k>n -> n results
         (ball_tree.rs:102-121)."""
         q = check_query(point, self.dim, self.points.dtype)
-        d, i = bf.knn(self.points, q[None, :], k, self.metric,
-                      point_norms=self.point_norms)
+        d, i = bf.knn(self._qpoints, self._q(q[None, :]), k, self.metric,
+                      point_norms=self.point_norms, assume_centered=True)
         return np.asarray(i[0]), np.asarray(d[0])
 
     def query_radius(self, point, distance):
@@ -79,7 +92,8 @@ class BruteForce:
         contract, ball_tree.rs:123-124).
         """
         q = check_query(point, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self.points, q[None, :], distance, self.metric)
+        mask = bf.radius_mask(self._qpoints, self._q(q[None, :]), distance,
+                              self.metric)
         return np.flatnonzero(np.asarray(mask[0])).astype(np.int32)
 
     # -- batched API (the TPU path) ----------------------------------------
@@ -90,17 +104,19 @@ class BruteForce:
                 and 1 <= k_eff <= 128 - bf.RESCORE_SLACK):
             try:
                 return bf.knn_pallas_prepadded(
-                    self._pallas_pts, self._pallas_norms, qs, k_eff,
-                    self.num_points)
+                    self._pallas_pts, self._pallas_norms, self._q(qs),
+                    k_eff, self.num_points)
             except Exception:
                 pass  # fall back to the portable path
-        d, i = bf.knn(self.points, qs, k, self.metric, chunk=chunk,
-                      point_norms=self.point_norms)
+        d, i = bf.knn(self._qpoints, self._q(qs), k, self.metric,
+                      chunk=chunk, point_norms=self.point_norms,
+                      assume_centered=True)
         return d, i
 
     def query_radius_batch(self, queries, distance, *, cap: int | None = None):
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self.points, qs, distance, self.metric)
+        mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
+                              self.metric)
         if cap is None:
             return mask
         return bf.compact_mask(mask, cap)
