@@ -113,6 +113,13 @@ class BruteForce:
                       assume_centered=True)
         return d, i
 
+    def query_radius_count_batch(self, queries, distance):
+        """Per-query neighbor counts only (no lists materialized)."""
+        qs = check_query_batch(queries, self.dim, self.points.dtype)
+        mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
+                              self.metric)
+        return bf.radius_counts(mask)
+
     def query_radius_batch(self, queries, distance, *, cap: int | None = None):
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         mask = bf.radius_mask(self._qpoints, self._q(qs), distance,

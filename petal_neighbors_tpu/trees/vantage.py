@@ -108,9 +108,10 @@ def _build_host(points: np.ndarray, metric: Metric):
             root, depth_max)
 
 
-@partial(jax.jit, static_argnames=("k", "static", "metric"))
+@partial(jax.jit, static_argnames=("k", "static", "metric", "with_stats"))
 def _vp_knn(points, vp, radius, near, far, root, queries, *,
-            k: int, static: _VPStatic, metric: Metric):
+            k: int, static: _VPStatic, metric: Metric,
+            with_stats: bool = False):
     """Lockstep batched DFS with deferred prune keys.
 
     Exact for any k <= n: a node is skipped only when the reference's own
@@ -139,12 +140,14 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
     def tau(bd):
         return jnp.max(bd, axis=1)  # kth best (inf until filled)
 
+    visits0 = jnp.zeros((q,), dtype=jnp.int32)
+
     def cond(state):
-        _, _, _, _, sp = state
+        sp = state[4]
         return jnp.any(sp > 0)
 
     def body(state):
-        best_d, best_i, stack, keys, sp = state
+        best_d, best_i, stack, keys, sp, visits = state
         active = sp > 0
         top = jnp.where(active, sp - 1, 0)
         node = stack[rows, top]
@@ -193,12 +196,20 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
         stack, keys, sp = push(stack, keys, sp, c1, k1, visit)
         stack, keys, sp = push(stack, keys, sp, c2,
                                jnp.full_like(k1, neg_inf), visit)
-        return best_d, best_i, stack, keys, sp
+        visits = visits + visit.astype(jnp.int32)
+        return best_d, best_i, stack, keys, sp, visits
 
-    best_d, best_i, *_ = jax.lax.while_loop(
-        cond, body, (best_d, best_i, stack, keys, sp))
+    best_d, best_i, _, _, _, visits = jax.lax.while_loop(
+        cond, body, (best_d, best_i, stack, keys, sp, visits0))
     # sort ascending once, at the end
-    return smallest_k(best_d, best_i, k)
+    out = smallest_k(best_d, best_i, k)
+    if with_stats:
+        # observability (SURVEY.md §5): per-query node-visit counts
+        stats = {"nodes_visited": visits,
+                 "n_nodes": jnp.int32(static.n_nodes),
+                 "visit_ratio": visits / static.n_nodes}
+        return out[0], out[1], stats
+    return out
 
 
 class VantagePointTree:
@@ -286,13 +297,16 @@ class VantagePointTree:
         d, i = self._knn(qv[None, :], k_eff)
         return np.asarray(i[0]).astype(np.int64), np.asarray(d[0])
 
-    def query_batch(self, queries, k: int):
+    def query_batch(self, queries, k: int, *, with_stats: bool = False):
+        """Batched k-NN. ``with_stats=True`` also returns per-query
+        node-visit counts (observability, SURVEY.md §5)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.n)
         if k_eff == 0:
-            return (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
-                    jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
-        return self._knn(qs, k_eff)
+            empty = (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
+                     jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
+            return (*empty, {}) if with_stats else empty
+        return self._knn(qs, k_eff, with_stats=with_stats)
 
     def query_nearest_batch(self, queries):
         d, i = self.query_batch(queries, 1)
@@ -312,7 +326,8 @@ class VantagePointTree:
             return mask
         return bf.compact_mask(mask, cap)
 
-    def _knn(self, qs, k_eff: int):
+    def _knn(self, qs, k_eff: int, with_stats: bool = False):
         return _vp_knn(self.points, self._vp, self._radius, self._near,
                        self._far, self.root, qs,
-                       k=k_eff, static=self._static, metric=self.metric)
+                       k=k_eff, static=self._static, metric=self.metric,
+                       with_stats=with_stats)

@@ -88,3 +88,13 @@ class TestTreeQuerySharded:
         d1, i1 = tree.query_batch(qs, 6)
         np.testing.assert_allclose(np.asarray(d), np.asarray(d1), rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
+    def test_cosine_tree_sharded(self, rng, mesh1d):
+        from petal_neighbors_tpu import BallTree, Cosine, parallel
+        pts = rng.standard_normal((160, 5))
+        qs = rng.standard_normal((13, 5))
+        tree = BallTree(pts, Cosine(), leaf_size=16)
+        d, i = parallel.tree_query_sharded(tree, qs, 4, mesh=mesh1d)
+        d1, i1 = tree.query_batch(qs, 4)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d1), rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))

@@ -142,3 +142,16 @@ class TestQueryOracle:
         vp = VantagePointTree.euclidean(pts)
         i, d = vp.query_nearest(np.array([1.0, 2.0]))
         assert d == pytest.approx(1.0)
+
+
+class TestVpStats:
+    def test_visit_counts(self, rng):
+        pts = rng.uniform(0, 1, (200, 3))
+        vp = VantagePointTree.euclidean(pts)
+        qs = rng.uniform(0, 1, (8, 3))
+        d, i, stats = vp.query_batch(qs, 5, with_stats=True)
+        visits = np.asarray(stats["nodes_visited"])
+        assert visits.shape == (8,)
+        assert (visits >= 5).all() and (visits <= 200).all()
+        d2, i2 = vp.query_batch(qs, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
