@@ -148,16 +148,22 @@ def pad_for_pallas(points, point_norms=None):
 
 @partial(jax.jit, static_argnames=("k_eff", "n_real"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
-                         n_real: int):
+                         n_real: int, center=None):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
+
+    ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
+    pass the same ``center`` so queries are shifted inside this program
+    (one jitted program = one dispatch — each eager op costs a tunnel
+    round-trip on remote devices).
 
     Exact: kernel gathers top-(k+slack) candidates, then the direct-form
     re-score/re-rank restores exact-to-rounding distances (the same
-    accuracy scheme as the XLA path).  One jitted program = one dispatch
-    (each eager op costs a tunnel round-trip on remote devices).
+    accuracy scheme as the XLA path).
     """
     from .pallas.knn_kernel import knn_pallas
 
+    if center is not None:
+        queries = queries - center
     dim = pts_padded.shape[1]
     q = queries.shape[0]
     tq = 256

@@ -104,8 +104,8 @@ class BruteForce:
                 and 1 <= k_eff <= 128 - bf.RESCORE_SLACK):
             try:
                 return bf.knn_pallas_prepadded(
-                    self._pallas_pts, self._pallas_norms, self._q(qs),
-                    k_eff, self.num_points)
+                    self._pallas_pts, self._pallas_norms, qs,
+                    k_eff, self.num_points, self._center)
             except Exception:
                 pass  # fall back to the portable path
         d, i = bf.knn(self._qpoints, self._q(qs), k, self.metric,
