@@ -146,9 +146,9 @@ def pad_for_pallas(points, point_norms=None):
     return points, point_norms
 
 
-@partial(jax.jit, static_argnames=("k_eff", "n_real"))
+@partial(jax.jit, static_argnames=("k_eff", "n_real", "fast"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
-                         n_real: int, center=None):
+                         n_real: int, center=None, fast: bool = False):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -156,9 +156,21 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     (one jitted program = one dispatch — each eager op costs a tunnel
     round-trip on remote devices).
 
-    Exact: kernel gathers top-(k+slack) candidates, then the direct-form
-    re-score/re-rank restores exact-to-rounding distances (the same
-    accuracy scheme as the XLA path).
+    ``fast=True`` runs the candidate pass with one bf16 MXU pass
+    (~several x the f32 rate), then PROVES the result exact per batch: a
+    point outside the candidate set has bf16 distance >= the
+    (k+slack)-th kept value ``thr``, hence true distance >= thr - err
+    where err = 4*eps_bf16*(|q|^2 + max|x|^2) bounds the bf16 rounding of
+    the cross term. If the re-scored k-th best <= thr - err for every
+    query, no outside point can belong to the true top-k; otherwise the
+    whole batch recomputes with full-f32 passes (lax.cond, no host sync).
+    Default False: on dense distance distributions (uniform SIFT-scale
+    data) the bound window holds hundreds of candidates, verification
+    always fails, and both kernels run (measured 2.3x slower than
+    f32-only); enable for well-separated/clustered corpora.
+
+    Exact either way: candidates are re-scored with the direct form and
+    re-ranked (the same accuracy scheme as the XLA path).
     """
     from .pallas.knn_kernel import knn_pallas
 
@@ -174,12 +186,38 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     qs = jnp.pad(queries, ((0, qpad), (0, 0)),
                  constant_values=jnp.nan) if qpad else queries
 
-    rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq, tn=tn)
-    rd, idx = rd[:q], idx[:q]
-    # drop any padded-row ids (possible only when fewer than k_scan finite
-    # candidates exist, e.g. NaN points with k ~ n), then exact re-score
-    idx = jnp.where(idx < n_real, idx, -1)
-    best_rd, best_i = rescore_exact(pts_padded, queries, idx, k_eff)
+    def run(use_fast: bool):
+        rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq,
+                             tn=tn, fast=use_fast)
+        rd, idx = rd[:q], idx[:q]
+        # drop any padded-row ids (possible only when fewer than k_scan
+        # finite candidates exist, e.g. NaN points with k ~ n)
+        idx_ok = jnp.where(idx < n_real, idx, -1)
+        best_rd, best_i = rescore_exact(pts_padded, queries, idx_ok, k_eff)
+        return rd, best_rd, best_i
+
+    if not fast:
+        _, best_rd, best_i = run(False)
+        return jnp.sqrt(best_rd), best_i
+
+    rd_b, best_rd, best_i = run(True)
+    # ---- exactness proof for the bf16 candidate pass ----
+    eps_b = 2.0 ** -8                      # bf16 mantissa rounding
+    qn = jnp.sum(queries * queries, axis=-1)
+    xn_max = jnp.max(jnp.where(jnp.isnan(xn_padded), 0.0, xn_padded))
+    err = 4.0 * eps_b * (qn + xn_max)                       # (Q,)
+    thr = rd_b[:, -1]                      # (k+slack)-th bf16 distance
+    covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
+    # NaN queries (padding) have inf everywhere: treat as covered
+    covered = covered | ~jnp.isfinite(best_rd[:, -1])
+    ok = jnp.all(covered)
+
+    def precise(_):
+        _, brd, bi = run(False)
+        return brd, bi
+
+    best_rd, best_i = jax.lax.cond(
+        ok, lambda _: (best_rd, best_i), precise, operand=None)
     return jnp.sqrt(best_rd), best_i
 
 

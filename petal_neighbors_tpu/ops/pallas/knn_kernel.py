@@ -46,7 +46,7 @@ def pallas_available() -> bool:
 
 def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
                 best_d, best_i, *, k: int, tn: int, n_real: int,
-                n_chunks: int):
+                n_chunks: int, fast: bool = False):
     """Small-k variant: each while-iteration re-scans the full tile for
     its minimum (4 full-tile VPU passes per extracted candidate)."""
     nj = pl.program_id(1)
@@ -58,11 +58,11 @@ def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
         best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
         best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
 
-    # reduced distances for this tile (TQ, TN) — full-f32 MXU passes, not
-    # bf16x1 (bf16 loses ~0.4% relative on the cross term, which is larger
-    # than true neighbor gaps: measured recall drop to 0.99)
+    # fast=True: one bf16 MXU pass (callers pair it with an error-bound
+    # verification + precise fallback); fast=False: full-f32 passes
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     s = jnp.dot(q_ref[:], p_ref[:].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
     rd = qn_ref[:].T + xn_ref[:] - 2.0 * s
     rd = jnp.maximum(rd, 0.0)
 
@@ -130,7 +130,7 @@ SUBTILE = 128
 
 def _knn_kernel_grouped(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
                         best_d, best_i, *, k: int, tn: int, n_real: int,
-                        n_chunks: int):
+                        n_chunks: int, fast: bool = False):
     """Large-k variant: sub-tiled extraction.
 
     The (TQ, TN) distance tile is processed as TN/128 column sub-tiles,
@@ -152,8 +152,9 @@ def _knn_kernel_grouped(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
         best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
         best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
 
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     s = jnp.dot(q_ref[:], p_ref[:].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
     rd = qn_ref[:].T + xn_ref[:] - 2.0 * s
     rd = jnp.maximum(rd, 0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, rd.shape, 1)
@@ -198,10 +199,10 @@ def _knn_kernel_grouped(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
-                                             "grouped"))
+                                             "grouped", "fast"))
 def knn_pallas(points, queries, point_norms, *, k: int,
                tq: int = 256, tn: int = 2048, interpret: bool = False,
-               grouped: bool | None = None):
+               grouped: bool | None = None, fast: bool = False):
     """Exact k-NN via the fused Pallas kernel (squared-Euclidean).
 
     Caller contract: N % tn == 0, Q % tq == 0 (pad with NaN rows — they
@@ -221,7 +222,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         grouped = k > 16
     body = _knn_kernel_grouped if grouped else _knn_kernel
     kernel = functools.partial(body, k=k, tn=tn, n_real=n,
-                               n_chunks=n_chunks)
+                               n_chunks=n_chunks, fast=fast)
 
     grid = (q // tq, n_chunks)
     out_d, out_i = pl.pallas_call(
