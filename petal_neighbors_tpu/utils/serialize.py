@@ -37,26 +37,29 @@ def save_index(index, path) -> None:
     from ..trees.bruteforce import BruteForce
     from ..trees.vantage import VantagePointTree
 
+    # device->host exports can carry the device's (possibly transposed)
+    # layout; persist C-order so reload passes the row-contiguity contract
+    c = np.ascontiguousarray
     common = {
         "format_version": np.int64(_FORMAT_VERSION),
         "metric": _metric_spec(index.metric),
-        "points": np.asarray(index.points),
+        "points": c(np.asarray(index.points)),
     }
     if isinstance(index, BallTree):
         np.savez_compressed(
             path, kind="ball", **common,
-            idx=np.asarray(index.idx),
-            centroids=np.asarray(index.nodes.centroids),
-            radii=np.asarray(index.nodes.radii),
+            idx=c(np.asarray(index.idx)),
+            centroids=c(np.asarray(index.nodes.centroids)),
+            radii=c(np.asarray(index.nodes.radii)),
             leaf_size=np.int64(-1 if index._leaf_size is None
                                else index._leaf_size))
     elif isinstance(index, VantagePointTree):
         np.savez_compressed(
             path, kind="vantage", **common,
-            vp=index.nodes["vantage_point"],
-            radius=index.nodes["radius"],
-            near=index.nodes["near"],
-            far=index.nodes["far"],
+            vp=c(np.asarray(index.nodes["vantage_point"])),
+            radius=c(np.asarray(index.nodes["radius"])),
+            near=c(np.asarray(index.nodes["near"])),
+            far=c(np.asarray(index.nodes["far"])),
             root=np.int64(index.root),
             depth=np.int64(index._static.depth))
     elif isinstance(index, BruteForce):
