@@ -91,7 +91,7 @@ def knn_query_sharded(points, queries, k: int, metric: Metric | None = None,
 
 
 def tree_query_sharded(tree, queries, k: int, *, mesh: Mesh,
-                       axis: str = "shards", chunk_leaves: int = 8):
+                       axis: str = "shards", chunk_leaves: int = 4):
     """Query-DP over a replicated **BallTree**: each device runs the
     lockstep tree traversal for its own query shard (and stops pruning
     independently — no cross-device sync inside the loop).
