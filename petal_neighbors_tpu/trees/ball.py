@@ -238,13 +238,22 @@ class BallTree:
     def query_radius_batch(self, queries, distance, *, cap: int | None = None):
         """Batched radius search. Returns a (Q, n) boolean mask (original
         id order), or ``(indices (Q, cap), counts)`` when ``cap`` is set —
-        the masked-segment-output scheme for variable-length results."""
+        the masked-segment-output scheme for variable-length results.
+
+        The capped form is tree-pruned: it gathers only the leaves each
+        query's traversal reaches (the DBSCAN regime), instead of the
+        dense full-corpus sweep behind the mask form.  Index order within
+        a row is unspecified (the reference returns traversal order too).
+        """
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = self._radius_mask(qs, distance)
         if cap is None:
-            return mask
-        from ..ops.bruteforce import compact_mask
-        return compact_mask(mask, cap)
+            return self._radius_mask(qs, distance)
+        from ..ops.bruteforce import _pick_chunk
+        chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None, direct=True)
+        return ball_query.radius_query_capped(
+            self._points_perm, self._orig_ids, self._centroids, self._radii,
+            qs, distance, shape=self._shape, metric=self.metric, cap=cap,
+            point_chunk=chunk)
 
     def query_radius_count_batch(self, queries, distance):
         """Per-query neighbor counts only (the DBSCAN core-point test) —

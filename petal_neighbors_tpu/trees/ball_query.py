@@ -315,3 +315,129 @@ def radius_query_mask(points_perm, orig_pos_of_id, centroids, radii,
 
     member_perm = take_pos | (scan_pos & within)             # permuted order
     return member_perm[:, orig_pos_of_id]                    # original order
+
+
+def _radius_leaf_flags(queries, centroids, radii, r, shape: TreeShape,
+                       metric: Metric, chunk: int):
+    """Per-leaf radius flags: (take_leaf, scan_leaf), each (Q, L).
+
+    take_leaf: the leaf (or an ancestor) was taken wholesale (ub <= r,
+    inclusive) — every member is in with no distance test;
+    scan_leaf: the traversal reached the leaf and it needs the strict
+    d < r filter.  Mutually exclusive.  Same reachability recurrence and
+    exact direct-form bound arithmetic as radius_query_mask.
+    """
+    q = queries.shape[0]
+    d_node = _direct_dist_chunked(queries, centroids, metric, chunk)
+    lb = jnp.maximum(d_node - radii[None, :], 0.0)
+    ub = d_node + radii[None, :]
+    descend = ~(lb > r) & ~(ub <= r)
+    reached_lvl = [jnp.ones((q, 1), dtype=bool)]
+    for level in range(1, shape.height):
+        lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+        parents = (np.arange(lo, hi) - 1) // 2
+        reach_p = reached_lvl[level - 1][:, parents - ((1 << (level - 1)) - 1)]
+        reached_lvl.append(reach_p & descend[:, parents])
+    reached = jnp.concatenate(reached_lvl, axis=1)
+    take_all = reached & (ub <= r)
+
+    leaf_lo = shape.n_leaves - 1
+    scan_leaf = (reached[:, leaf_lo:] & ~(lb[:, leaf_lo:] > r)
+                 & ~(ub[:, leaf_lo:] <= r))
+    # take flag per leaf: any ancestor (incl. itself) taken wholesale
+    anc = np.arange(leaf_lo, shape.n_nodes)
+    take_leaf = jnp.zeros((q, shape.n_leaves), dtype=bool)
+    for _level in range(shape.height):
+        take_leaf = take_leaf | take_all[:, jnp.asarray(anc)]
+        anc = (anc - 1) // 2
+    return take_leaf, scan_leaf
+
+
+@partial(jax.jit, static_argnames=("shape", "metric", "cap", "chunk_leaves",
+                                   "point_chunk"))
+def radius_query_capped(points_perm, orig_ids, centroids, radii,
+                        queries, radius, *, shape: TreeShape, metric: Metric,
+                        cap: int, chunk_leaves: int = 4,
+                        point_chunk: int = 65536):
+    """Tree-pruned batched radius search with capped neighbor lists.
+
+    Unlike ``radius_query_mask`` (a dense sweep over all points — right
+    for large result sets), this gathers ONLY the leaves each query's
+    traversal reaches — the DBSCAN regime where small ε touches a handful
+    of leaves out of thousands.  Identical membership semantics.
+
+    Returns (ids (Q, cap) int32 original point ids, -1 padded; counts
+    (Q,) int32).  counts may exceed ``cap`` (overflow detection); ids
+    beyond cap are dropped.  Order of ids is traversal order (the
+    reference returns unsorted order too, ball_tree.rs:137-142).
+    """
+    n, dim = points_perm.shape
+    q = queries.shape[0]
+    dtype = points_perm.dtype
+    r = jnp.asarray(radius, dtype=dtype)
+    rr = metric.distance_to_rdistance(r)
+    L = shape.n_leaves
+    max_leaf = shape.max_leaf_points
+
+    take_leaf, scan_leaf = _radius_leaf_flags(
+        queries, centroids, radii, r, shape, metric, point_chunk)
+    emit = take_leaf | scan_leaf                          # (Q, L)
+
+    # emitted leaves first, chunked lockstep
+    order = jnp.argsort(~emit, axis=1, stable=True).astype(jnp.int32)
+    emit_sorted = jnp.take_along_axis(emit, order, axis=1)
+    C = max(1, min(chunk_leaves, L))
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=L)
+        emit_sorted = jnp.pad(emit_sorted, ((0, 0), (0, pad)),
+                              constant_values=False)
+
+    starts_np, counts_np = _leaf_tables(shape)
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
+    # pad the flag tables with the sentinel leaf column (never emitted)
+    take_pad = jnp.pad(take_leaf, ((0, 0), (0, 1)))
+    m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
+    rows = jnp.arange(q)
+
+    def cond(state):
+        _, _, ci = state
+        nxt = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci * C),
+                                    (q, 1))[:, 0]
+        return (ci < n_chunks) & jnp.any(nxt)
+
+    def body(state):
+        out, cnt, ci = state
+        leaf_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C),
+                                         (q, C))                   # (Q, C)
+        emitted = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci * C),
+                                        (q, C))                    # (Q, C)
+        taken = jnp.take_along_axis(take_pad, leaf_ids, axis=1) & emitted
+        s = leaf_start[leaf_ids]
+        lc = leaf_count[leaf_ids]
+        pos = s[..., None] + m_ar[None, None, :]                   # (Q,C,M)
+        valid = (m_ar[None, None, :] < lc[..., None]) & emitted[..., None]
+        pos = jnp.where(valid, pos, 0)
+
+        pts = points_perm[pos]
+        diff = pts - queries[:, None, None, :]
+        rd = nan_to_inf(jnp.sum(diff * diff, axis=-1))
+        accept = valid & (taken[..., None] | (rd < rr))            # semantics
+        accept = accept.reshape(q, C * max_leaf)
+        ids = orig_ids[pos].reshape(q, C * max_leaf)
+
+        # append accepted ids at per-query running offsets; beyond-cap
+        # entries are dropped (counts still accumulate for detection)
+        cols = cnt[:, None] + jnp.cumsum(accept, axis=1) - 1
+        cols = jnp.where(accept, cols, cap)       # out-of-range -> dropped
+        out = out.at[rows[:, None], cols].set(ids, mode="drop")
+        cnt = cnt + jnp.sum(accept, axis=1).astype(jnp.int32)
+        return out, cnt, ci + 1
+
+    init = (jnp.full((q, cap), -1, dtype=jnp.int32),
+            jnp.zeros((q,), dtype=jnp.int32),
+            jnp.int32(0))
+    out, cnt, _ = jax.lax.while_loop(cond, body, init)
+    return out, cnt

@@ -383,3 +383,55 @@ class TestRadiusCounts:
         counts = np.asarray(t.query_radius_count_batch(qs, 0.4))
         mask = np.asarray(t.query_radius_batch(qs, 0.4))
         np.testing.assert_array_equal(counts, mask.sum(1))
+
+
+class TestCappedRadius:
+    """The tree-pruned capped radius path must agree with the dense mask
+    path exactly (same membership semantics incl. boundary rules)."""
+
+    @pytest.mark.parametrize("leaf_size", [None, 4, 128])
+    def test_matches_mask(self, rng, leaf_size):
+        pts = rng.uniform(0, 1, (300, 3))
+        qs = rng.uniform(0, 1, (17, 3))
+        t = BallTree.euclidean(pts, leaf_size=leaf_size)
+        mask = np.asarray(t.query_radius_batch(qs, 0.3))
+        ids, cnt = t.query_radius_batch(qs, 0.3, cap=300)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        for r in range(17):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            got = set(ids[r][ids[r] >= 0].tolist())
+            assert got == want, r
+            assert cnt[r] == len(want)
+
+    def test_boundary_semantics(self):
+        """Binary-exact boundary fixture (same as the mask test)."""
+        pts = np.array([[1.0], [1.5], [9.0]])
+        t = BallTree.euclidean(pts, leaf_size=None)
+        ids, cnt = t.query_radius_batch(np.array([[0.5]]), 1.0, cap=3)
+        got = sorted(np.asarray(ids)[0][: int(cnt[0])].tolist())
+        assert got == [0]
+        ids, cnt = t.query_radius_batch(np.array([[5.25]]), 3.75, cap=3)
+        got = sorted(np.asarray(ids)[0][: int(cnt[0])].tolist())
+        assert got == [1, 2]
+
+    def test_cap_overflow_detectable(self, rng):
+        pts = rng.uniform(0, 1, (100, 2))
+        t = BallTree.euclidean(pts, leaf_size=8)
+        ids, cnt = t.query_radius_batch(pts[:3], 2.0, cap=10)  # all within
+        cnt = np.asarray(cnt)
+        assert (cnt == 100).all()          # true counts, beyond cap
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and ids.shape == (3, 10)
+
+    def test_nan_member_in_taken_leaf(self):
+        """A NaN point inside a wholly-taken node is included with no
+        distance evaluation (reference bulk-take, ball_tree.rs:271-273)."""
+        pts = np.array([[1.0, 1.0], [1.0, 1.0], [np.nan, 1.0],
+                        [1.0, 1.0]])
+        t = BallTree.euclidean(pts, leaf_size=None)
+        mask = np.asarray(t.query_radius_batch(
+            np.array([[1.0, 1.0]], dtype=np.float64), 100.0))
+        ids, cnt = t.query_radius_batch(
+            np.array([[1.0, 1.0]], dtype=np.float64), 100.0, cap=4)
+        got = set(np.asarray(ids)[0][: int(cnt[0])].tolist())
+        assert got == set(np.flatnonzero(mask[0]).tolist())
