@@ -257,10 +257,16 @@ class BallTree:
 
     def query_radius_count_batch(self, queries, distance):
         """Per-query neighbor counts only (the DBSCAN core-point test) —
-        no neighbor lists materialized or fetched."""
+        tree-pruned, no neighbor lists fetched.  The capped kernel's
+        counts are exact regardless of cap, so cap=1 gives pure counts."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        from ..ops.bruteforce import radius_counts
-        return radius_counts(self._radius_mask(qs, distance))
+        from ..ops.bruteforce import _pick_chunk
+        chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None, direct=True)
+        _, counts = ball_query.radius_query_capped(
+            self._points_perm, self._orig_ids, self._centroids, self._radii,
+            qs, distance, shape=self._shape, metric=self.metric, cap=1,
+            point_chunk=chunk)
+        return counts
 
     def _knn(self, qs, k_eff: int, chunk_leaves: int = 4,
              with_stats: bool = False):

@@ -422,8 +422,14 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
         pos = jnp.where(valid, pos, 0)
 
         pts = points_perm[pos]
-        diff = pts - queries[:, None, None, :]
-        rd = nan_to_inf(jnp.sum(diff * diff, axis=-1))
+        if isinstance(metric, Euclidean):
+            diff = pts - queries[:, None, None, :]
+            rd = jnp.sum(diff * diff, axis=-1)
+        else:
+            flat = pts.reshape(q, C * max_leaf, dim)
+            rd = jax.vmap(lambda qq, xx: metric.rdist(qq[None], xx)[0])(
+                queries, flat).reshape(q, C, max_leaf)
+        rd = nan_to_inf(rd)
         accept = valid & (taken[..., None] | (rd < rr))            # semantics
         accept = accept.reshape(q, C * max_leaf)
         ids = orig_ids[pos].reshape(q, C * max_leaf)

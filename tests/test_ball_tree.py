@@ -435,3 +435,16 @@ class TestCappedRadius:
             np.array([[1.0, 1.0]], dtype=np.float64), 100.0, cap=4)
         got = set(np.asarray(ids)[0][: int(cnt[0])].tolist())
         assert got == set(np.flatnonzero(mask[0]).tolist())
+
+    def test_capped_cosine_metric(self, rng):
+        from petal_neighbors_tpu import Cosine
+        pts = rng.standard_normal((150, 4))
+        qs = rng.standard_normal((9, 4))
+        t = BallTree(pts, Cosine(), leaf_size=16)
+        mask = np.asarray(t.query_radius_batch(qs, 0.4))
+        ids, cnt = t.query_radius_batch(qs, 0.4, cap=150)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        for r in range(9):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            got = set(ids[r][ids[r] >= 0].tolist())
+            assert got == want, r
