@@ -212,6 +212,78 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
     return out
 
 
+@partial(jax.jit, static_argnames=("static", "metric", "cap"))
+def _vp_radius(points, vp, radius, near, far, root, queries, r, *,
+               static: _VPStatic, metric: Metric, cap: int):
+    """Tree-pruned batched radius search (extension; inclusive d <= r).
+
+    Same lockstep DFS as ``_vp_knn`` with a FIXED threshold: by the
+    triangle inequality, points in the near child lie within ``rho`` of
+    the vantage point, so the near subtree can be skipped when
+    d(q, vp) - r > rho; the far subtree when d(q, vp) + r < rho.
+    Inclusive comparisons keep boundary members.
+
+    Returns (ids (Q, cap) int32, -1 padded; counts (Q,) exact even past
+    cap — overflow detectable).
+    """
+    q = queries.shape[0]
+    dtype = points.dtype
+    cap_stack = static.depth + 4
+
+    stack = jnp.zeros((q, cap_stack), dtype=jnp.int32)
+    stack = stack.at[:, 0].set(jnp.int32(root))
+    sp = jnp.ones((q,), dtype=jnp.int32)
+    rows = jnp.arange(q)
+    rr = jnp.asarray(r, dtype=dtype)
+
+    out0 = jnp.full((q, cap), -1, dtype=jnp.int32)
+    cnt0 = jnp.zeros((q,), dtype=jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[2] > 0)
+
+    def body(state):
+        out, cnt, sp, stack = state
+        active = sp > 0
+        top = jnp.where(active, sp - 1, 0)
+        node = stack[rows, top]
+        sp = jnp.where(active, sp - 1, sp)
+
+        v = vp[node]
+        rho = radius[node]
+        draw = metric.rowwise_dist(queries, points[v])           # (Q,)
+        dnan = jnp.isnan(draw)
+        d = nan_to_inf(draw)
+
+        accept = active & (d <= rr)
+        # non-accepting rows and beyond-cap appends land at col >= cap and
+        # are dropped by the scatter; counts stay exact
+        col = jnp.where(accept, cnt, cap)
+        out = out.at[rows, col].set(v.astype(jnp.int32), mode="drop")
+        cnt = cnt + accept.astype(jnp.int32)
+
+        nr = near[node]
+        fr = far[node]
+        # a NaN vantage distance gives no valid bound: visit both subtrees
+        push_near = active & (nr != NULL) & ((d - rr <= rho) | dnan)
+        push_far = active & (fr != NULL) & ((d + rr >= rho) | dnan)
+
+        def push(stack, sp, child, do):
+            slot = jnp.where(do, sp, 0)
+            cur = stack[rows, slot]
+            stack = stack.at[rows, slot].set(
+                jnp.where(do, child.astype(jnp.int32), cur))
+            return stack, jnp.where(do, sp + 1, sp)
+
+        stack, sp = push(stack, sp, fr, push_far)
+        stack, sp = push(stack, sp, nr, push_near)
+        return out, cnt, sp, stack
+
+    out, cnt, _, _ = jax.lax.while_loop(cond, body,
+                                        (out0, cnt0, sp, stack))
+    return out, cnt
+
+
 class VantagePointTree:
     """Exact VP-tree index (vantage_point_tree.rs:13-198)."""
 
@@ -314,17 +386,25 @@ class VantagePointTree:
 
     def query_radius(self, needle, distance):
         """All indices with d <= distance (extension; inclusive boundary —
-        the VP tree has no reference radius semantics to replicate)."""
+        the VP tree has no reference radius semantics to replicate).
+        Tree-pruned via the triangle inequality on vantage radii."""
         qv = check_query(needle, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self.points, qv[None, :], distance, self.metric)
-        return np.flatnonzero(np.asarray(mask[0])).astype(np.int64)
+        ids, cnt = self._radius_capped(qv[None, :], distance, self.n)
+        return np.sort(np.asarray(ids[0])[: int(cnt[0])]).astype(np.int64)
 
     def query_radius_batch(self, queries, distance, *, cap: int | None = None):
+        """Batched radius search: (Q, n) mask (dense scan) or, with
+        ``cap``, tree-pruned ``(indices (Q, cap), counts)``."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self.points, qs, distance, self.metric)
         if cap is None:
-            return mask
-        return bf.compact_mask(mask, cap)
+            return bf.radius_mask(self.points, qs, distance, self.metric)
+        return self._radius_capped(qs, distance, cap)
+
+    def _radius_capped(self, qs, distance, cap: int):
+        return _vp_radius(self.points, self._vp, self._radius, self._near,
+                          self._far, self.root, qs,
+                          jnp.asarray(distance, dtype=self.points.dtype),
+                          static=self._static, metric=self.metric, cap=cap)
 
     def _knn(self, qs, k_eff: int, with_stats: bool = False):
         return _vp_knn(self.points, self._vp, self._radius, self._near,

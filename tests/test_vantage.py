@@ -155,3 +155,50 @@ class TestVpStats:
         assert (visits >= 5).all() and (visits <= 200).all()
         d2, i2 = vp.query_batch(qs, 5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+class TestVpRadiusTreePruned:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_capped_matches_mask(self, seed):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(0, 1, (250, 3))
+        qs = rng.uniform(0, 1, (11, 3))
+        vp = VantagePointTree.euclidean(pts)
+        mask = np.asarray(vp.query_radius_batch(qs, 0.35))
+        ids, cnt = vp.query_radius_batch(qs, 0.35, cap=250)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        for r in range(11):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            got = set(ids[r][ids[r] >= 0].tolist())
+            assert got == want, (seed, r)
+            assert cnt[r] == len(want)
+
+    def test_single_query_sorted(self, rng):
+        pts = rng.uniform(0, 1, (90, 2))
+        vp = VantagePointTree.euclidean(pts)
+        q = rng.uniform(0, 1, 2)
+        got = vp.query_radius(q, 0.3).tolist()
+        od = np.sqrt(((pts - q[None]) ** 2).sum(-1))
+        assert got == np.flatnonzero(od <= 0.3).tolist()
+
+    def test_nan_vantage_does_not_prune(self):
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(0, 1, (60, 2))
+        pts[59] = np.nan     # last row = root vantage point (vp_tree:169)
+        vp = VantagePointTree.euclidean(pts)
+        qs = pts[:5].copy()
+        mask = np.asarray(vp.query_radius_batch(qs, 0.25))
+        ids, cnt = vp.query_radius_batch(qs, 0.25, cap=60)
+        ids = np.asarray(ids)
+        for r in range(5):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            got = set(ids[r][ids[r] >= 0].tolist())
+            assert got == want
+
+    def test_cap_overflow(self, rng):
+        pts = rng.uniform(0, 1, (80, 2))
+        vp = VantagePointTree.euclidean(pts)
+        ids, cnt = vp.query_radius_batch(pts[:3], 5.0, cap=10)
+        cnt = np.asarray(cnt)
+        assert (cnt == 80).all()
+        assert (np.asarray(ids) >= 0).all()
