@@ -18,7 +18,7 @@ multi-chip search (``petal_neighbors_tpu.parallel``).
 from . import distance
 from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
-from .trees import BallTree, BruteForce, VantagePointTree
+from .trees import BallTree, BruteForce, DynamicIndex, VantagePointTree
 from .utils.serialize import load_index, save_index
 
 __version__ = "0.1.0"
@@ -36,6 +36,7 @@ __all__ = [
     "BallTree",
     "VantagePointTree",
     "BruteForce",
+    "DynamicIndex",
     "save_index",
     "load_index",
 ]

@@ -2,6 +2,8 @@
 
 from .ball import BallTree, Node, NodeTable
 from .bruteforce import BruteForce
+from .dynamic import DynamicIndex
 from .vantage import VantagePointTree
 
-__all__ = ["BallTree", "Node", "NodeTable", "BruteForce", "VantagePointTree"]
+__all__ = ["BallTree", "Node", "NodeTable", "BruteForce", "DynamicIndex",
+           "VantagePointTree"]

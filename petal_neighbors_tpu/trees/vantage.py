@@ -131,7 +131,9 @@ def _vp_knn(points, vp, radius, near, far, root, queries, *,
     # UNSORTED top-k working set: per-step maintenance is a handful of
     # (Q, k) elementwise ops instead of a TopK custom call — the loop body
     # runs tens of thousands of lockstep iterations, so per-step cost is
-    # everything.  Sorted once at the end.
+    # everything.  Sorted once at the end.  (Warm-starting tau with seed
+    # candidates was tried and measured: visit counts unchanged — VP
+    # pruning here is structure-dominated, not tau-dominated.)
     best_d = jnp.full((q, k), jnp.inf, dtype=dtype)
     best_i = jnp.full((q, k), -1, dtype=jnp.int32)
     rows = jnp.arange(q)
