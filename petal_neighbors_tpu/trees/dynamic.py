@@ -3,16 +3,22 @@
 The reference's indexes are build-once (SURVEY.md §5: rebuild-on-restart).
 For serving, this wrapper adds an LSM-style mutable layer:
 
-* **base segment** — a built ``BallTree`` (fast tree-pruned queries);
-* **delta segment** — newly added rows in a ``BruteForce`` index (exact,
-  no build cost; MXU-scanned);
-* **tombstones** — deleted ids filtered out of results.
+* **base segment** — a built ``BallTree`` over the live rows at the last
+  rebuild (fast tree-pruned queries), with a stable-id side table;
+* **delta segment** — rows added since, in a ``BruteForce`` index (exact,
+  no build cost; MXU-scanned; built lazily on first query);
+* **tombstones** — pending deletes filtered out of results.
 
-Queries merge the two exact segments (top-k merging is associative) and
-are therefore exact at every moment.  When the delta or tombstone load
-crosses ``rebuild_threshold`` of the base, ``rebuild()`` folds everything
-into a fresh tree.  Ids are stable: each added row gets the next id; ids
-never get reused.
+Queries fetch top-(k + #tombstones) from each segment, mask tombstones,
+and take the exact k best of the union — exact at every moment.  When the
+mutation load crosses ``rebuild_threshold`` of the base, ``rebuild()``
+compacts: dead rows are dropped for good (memory stays proportional to
+live rows), while ids remain stable forever (never reused).
+
+Trade-off note: a query here is several jitted dispatches (two segment
+queries + the merge), not the single program of the immutable indexes —
+the price of mutability on a remote device.  Rebuild to return to
+single-segment speed.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..distance import Metric, get_metric
-from ..ops.topk import merge_topk
+from ..ops.topk import smallest_k
 from ..utils.validation import check_query, check_query_batch
 from .ball import BallTree
 from .bruteforce import BruteForce
@@ -41,10 +47,11 @@ class DynamicIndex:
         pts = np.asarray(points)
         self._base = BallTree(pts, self.metric, leaf_size=leaf_size)
         self._base_rows = np.asarray(self._base.points)
+        self._base_ids = np.arange(pts.shape[0], dtype=np.int64)
         self._delta_rows: list[np.ndarray] = []
-        self._delta: BruteForce | None = None
-        self._tombstones: set[int] = set()   # pending (pre-rebuild) deletes
-        self._dead: set[int] = set()         # all deletes ever (ids reserved)
+        self._delta_ids: list[np.ndarray] = []
+        self._delta: BruteForce | None = None      # built lazily
+        self._tombstones: set[int] = set()         # pending deletes (live ids)
         self._next_id = pts.shape[0]
 
     # ------------------------------------------------------------------
@@ -55,87 +62,121 @@ class DynamicIndex:
     @property
     def num_points(self) -> int:
         """Live points (added minus removed)."""
-        return self._next_id - len(self._tombstones) - len(self._dead)
+        return (len(self._base_ids)
+                + sum(len(r) for r in self._delta_rows)
+                - len(self._tombstones))
+
+    def _live_ids(self) -> np.ndarray:
+        ids = np.concatenate(
+            [self._base_ids] + self._delta_ids
+            if self._delta_ids else [self._base_ids])
+        if self._tombstones:
+            ids = np.setdiff1d(
+                ids, np.fromiter(self._tombstones, dtype=np.int64,
+                                 count=len(self._tombstones)))
+        return ids
 
     def add(self, new_points) -> np.ndarray:
-        """Insert rows; returns their stable ids."""
-        new = np.asarray(new_points, dtype=self._base_rows.dtype)
+        """Insert rows; returns their stable ids (never reused)."""
+        new = np.ascontiguousarray(
+            np.asarray(new_points, dtype=self._base_rows.dtype))
         if new.ndim == 1:
             new = new[None, :]
         ids = np.arange(self._next_id, self._next_id + len(new))
         self._next_id += len(new)
         self._delta_rows.append(new)
-        delta = np.concatenate(self._delta_rows, axis=0)
-        self._delta = BruteForce(delta, self.metric)
+        self._delta_ids.append(ids)
+        self._delta = None                 # rebuilt lazily on next query
         self._maybe_rebuild()
         return ids
 
     def remove(self, ids) -> None:
-        """Tombstone ids (filtered from every subsequent query)."""
+        """Tombstone live ids.  Removing an already-removed (or never
+        live) id is a no-op; out-of-range ids raise."""
+        live = set(self._live_ids().tolist())
+        pend = []
         for i in np.atleast_1d(np.asarray(ids)):
-            if not 0 <= int(i) < self._next_id:
-                raise IndexError(f"id {int(i)} out of range")
-            self._tombstones.add(int(i))
+            i = int(i)
+            if not 0 <= i < self._next_id:
+                raise IndexError(f"id {i} out of range")
+            if i in live:
+                pend.append(i)
+        if len(pend) >= self.num_points and pend:
+            raise ValueError(
+                "cannot remove every remaining point: the index requires "
+                "at least one live row (reference Empty contract)")
+        self._tombstones.update(pend)
         self._maybe_rebuild()
 
     def rebuild(self) -> None:
-        """Fold delta + tombstones into a fresh base tree. Ids stay
-        stable (removed rows keep their ids reserved, never reused)."""
-        rows = [self._base_rows] + self._delta_rows
-        all_rows = np.concatenate(rows, axis=0)
-        self._dead |= self._tombstones
-        gone = np.fromiter(self._dead, dtype=np.int64, count=len(self._dead))
-        live = np.setdiff1d(np.arange(self._next_id), gone)
-        self._id_map = live                   # position -> stable id
-        self._base = BallTree(all_rows[live], self.metric,
-                              leaf_size=self._leaf_size)
-        self._base_rows = all_rows
+        """Compact delta + tombstones into a fresh base tree.  Dead rows
+        are dropped permanently; ids stay stable."""
+        rows = np.concatenate([self._base_rows] + self._delta_rows, axis=0) \
+            if self._delta_rows else self._base_rows
+        ids = np.concatenate([self._base_ids] + self._delta_ids) \
+            if self._delta_ids else self._base_ids
+        if self._tombstones:
+            gone = np.fromiter(self._tombstones, dtype=np.int64,
+                               count=len(self._tombstones))
+            alive = ~np.isin(ids, gone)
+            rows, ids = rows[alive], ids[alive]
+        self._base = BallTree(rows, self.metric, leaf_size=self._leaf_size)
+        self._base_rows = rows
+        self._base_ids = ids
         self._delta_rows = []
+        self._delta_ids = []
         self._delta = None
         self._tombstones = set()
 
     def _maybe_rebuild(self) -> None:
-        base_n = self._base.n
+        base_n = len(self._base_ids)
         load = (sum(len(r) for r in self._delta_rows)
                 + len(self._tombstones))
         if base_n and load / base_n > self.rebuild_threshold:
             self.rebuild()
 
     # ------------------------------------------------------------------
-    def _map_base_ids(self, ids):
-        """Base-tree positions -> stable ids (identity unless rebuilt)."""
-        m = getattr(self, "_id_map", None)
-        if m is None:
-            return ids
-        mm = jnp.asarray(m)
-        return jnp.where(ids >= 0, mm[jnp.maximum(ids, 0)], -1)
+    def _delta_index(self) -> BruteForce | None:
+        if not self._delta_rows:
+            return None
+        if self._delta is None:
+            self._delta = BruteForce(
+                np.concatenate(self._delta_rows, axis=0), self.metric)
+        return self._delta
 
     def query_batch(self, queries, k: int):
-        """Exact k nearest among live points: tree segment + delta segment
-        merged; tombstones filtered."""
+        """Exact k nearest among live points: per-segment over-fetch (so
+        tombstones cannot crowd out live candidates), tombstone masking,
+        one final exact selection."""
         qs = check_query_batch(queries, self.dim, self._base.points.dtype)
         t = len(self._tombstones)
         k_eff = min(int(k), self.num_points)
         if k_eff == 0:
-            return (jnp.zeros((qs.shape[0], 0)), jnp.zeros((qs.shape[0], 0),
-                                                           dtype=jnp.int32))
-        # over-fetch so tombstones can be filtered without a second pass
-        k_fetch = min(k_eff + t, self._base.n)
-        d, i = self._base.query_batch(qs, k_fetch)
-        i = self._map_base_ids(i)
-        if self._delta is not None:
-            base_delta = self._next_id - self._delta.num_points
-            kd = min(k_eff + t, self._delta.num_points)
-            dd, di = self._delta.query_batch(qs, kd)
-            di = jnp.where(di >= 0, di + base_delta, -1)
-            d, i = merge_topk(dd, di, d, i, k_fetch)
+            return (jnp.zeros((qs.shape[0], 0),
+                              dtype=self._base.points.dtype),
+                    jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
+
+        kb = min(k_eff + t, len(self._base_ids))
+        d, i = self._base.query_batch(qs, kb)
+        base_map = jnp.asarray(self._base_ids, dtype=jnp.int32)
+        i = jnp.where(i >= 0, base_map[jnp.maximum(i, 0)], -1)
+
+        delta = self._delta_index()
+        if delta is not None:
+            delta_map = jnp.asarray(np.concatenate(self._delta_ids),
+                                    dtype=jnp.int32)
+            kd = min(k_eff + t, delta.num_points)
+            dd, di = delta.query_batch(qs, kd)
+            di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
+            d = jnp.concatenate([d, dd], axis=1)
+            i = jnp.concatenate([i, di], axis=1)
+
         if t:
             tomb = jnp.asarray(sorted(self._tombstones), dtype=jnp.int32)
             dead = jnp.isin(i, tomb)
             d = jnp.where(dead, jnp.inf, d)
             i = jnp.where(dead, -1, i)
-            d, i = merge_topk(d, i, d[:, :0], i[:, :0], k_fetch)  # re-sort
-        return d[:, :k_eff], i[:, :k_eff]
+        return smallest_k(d, i, k_eff)
 
     def query(self, point, k: int):
         qs = check_query(point, self.dim, self._base.points.dtype)

@@ -74,3 +74,44 @@ class TestDynamic:
         idx = DynamicIndex(rng.uniform(0, 1, (10, 2)).astype(np.float32))
         with pytest.raises(IndexError):
             idx.remove([99])
+
+
+class TestDynamicReviewFindings:
+    def test_tombstone_cannot_crowd_out_delta(self, rng):
+        """Review finding: per-segment fetch must keep live delta
+        candidates even when dead base points are globally closest."""
+        base = np.zeros((8, 2), dtype=np.float32)
+        base[:, 0] = np.arange(8)              # base at x = 0..7
+        idx = DynamicIndex(base, rebuild_threshold=10.0)
+        ids = idx.add(np.array([[100.0, 0.0]], dtype=np.float32))
+        idx.remove([0])                        # closest base point dies
+        got, d = idx.query(np.array([0.0, 0.0], dtype=np.float32), 8)
+        assert (got >= 0).all()
+        assert set(got.tolist()) == {1, 2, 3, 4, 5, 6, 7, int(ids[0])}
+
+    def test_remove_all_rejected(self, rng):
+        idx = DynamicIndex(rng.uniform(0, 1, (4, 2)).astype(np.float32),
+                           rebuild_threshold=10.0)
+        with pytest.raises(ValueError):
+            idx.remove([0, 1, 2, 3])
+        assert idx.num_points == 4             # state unchanged
+
+    def test_double_remove_idempotent(self, rng):
+        idx = DynamicIndex(rng.uniform(0, 1, (10, 2)).astype(np.float32),
+                           rebuild_threshold=10.0)
+        idx.remove([5])
+        idx.rebuild()
+        idx.remove([5])                        # no-op, not double counted
+        assert idx.num_points == 9
+        got, _ = idx.query(np.zeros(2, dtype=np.float32), 9)
+        assert len(got) == 9 and (got >= 0).all()
+
+    def test_rebuild_compacts_memory(self, rng):
+        pts = rng.uniform(0, 1, (100, 2)).astype(np.float32)
+        idx = DynamicIndex(pts, rebuild_threshold=10.0)
+        idx.remove(list(range(50)))
+        idx.rebuild()
+        assert len(idx._base_rows) == 50       # dead rows dropped for good
+        idx.add(rng.uniform(0, 1, (5, 2)).astype(np.float32))
+        idx.rebuild()
+        assert len(idx._base_rows) == 55
