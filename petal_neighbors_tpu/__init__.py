@@ -16,7 +16,8 @@ multi-chip search (``petal_neighbors_tpu.parallel``).
 """
 
 from . import distance
-from .distance import Cosine, Euclidean, Metric, Minkowski, pairwise
+from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
+                       Metric, Minkowski, pairwise)
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
 from .trees import BallTree, BruteForce, DynamicIndex, VantagePointTree
 from .utils.serialize import load_index, save_index
@@ -29,6 +30,9 @@ __all__ = [
     "Euclidean",
     "Cosine",
     "Minkowski",
+    "Manhattan",
+    "Chebyshev",
+    "Haversine",
     "pairwise",
     "ArrayError",
     "EmptyArrayError",

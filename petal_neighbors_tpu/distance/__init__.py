@@ -34,6 +34,9 @@ __all__ = [
     "Euclidean",
     "Cosine",
     "Minkowski",
+    "Manhattan",
+    "Chebyshev",
+    "Haversine",
     "pairwise",
     "get_metric",
     "MATMUL_PRECISION",
@@ -238,6 +241,105 @@ class Minkowski(Metric):
         return f"Minkowski(p={self.p})"
 
 
+class Manhattan(Minkowski):
+    """L1 / city-block metric (= Minkowski p=1, specialized: no pow)."""
+
+    name = "manhattan"
+
+    def __init__(self):
+        super().__init__(1.0)
+
+    def rdistance(self, x1, x2):
+        return jnp.sum(jnp.abs(jnp.asarray(x1) - jnp.asarray(x2)))
+
+    def rdist(self, q, x):
+        return jnp.sum(jnp.abs(jnp.asarray(q)[:, None, :]
+                               - jnp.asarray(x)[None, :, :]), axis=-1)
+
+    def rowwise_rdist(self, x, y):
+        return jnp.sum(jnp.abs(jnp.asarray(x) - jnp.asarray(y)), axis=-1)
+
+    def rdistance_to_distance(self, rd):
+        return rd
+
+    def distance_to_rdistance(self, d):
+        return d
+
+    def __repr__(self):
+        return "Manhattan()"
+
+
+class Chebyshev(Metric):
+    """L-infinity metric: max coordinate difference."""
+
+    name = "chebyshev"
+
+    def distance(self, x1, x2):
+        return jnp.max(jnp.abs(jnp.asarray(x1) - jnp.asarray(x2)))
+
+    def rdistance(self, x1, x2):
+        return self.distance(x1, x2)
+
+    def rdistance_to_distance(self, rd):
+        return rd
+
+    def distance_to_rdistance(self, d):
+        return d
+
+    def rdist(self, q, x):
+        return jnp.max(jnp.abs(jnp.asarray(q)[:, None, :]
+                               - jnp.asarray(x)[None, :, :]), axis=-1)
+
+    def rowwise_rdist(self, x, y):
+        return jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y)), axis=-1)
+
+
+class Haversine(Metric):
+    """Great-circle distance on the unit sphere for (lat, lon) in radians
+    (multiply results by the sphere radius for physical units).
+
+    rdistance is the haversine value ``sin^2(dlat/2) +
+    cos(lat1) cos(lat2) sin^2(dlon/2)`` — a monotone surrogate, the same
+    duality the Euclidean squared distance provides.
+    Note: ball-tree pruning uses arithmetic-mean centroids like the
+    reference does for every metric; bounds remain valid because node
+    radii are computed with this metric (ball_tree.rs:458-460).
+    """
+
+    name = "haversine"
+
+    def _hav(self, lat1, lon1, lat2, lon2):
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        return (jnp.sin(dlat / 2) ** 2
+                + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(dlon / 2) ** 2)
+
+    def distance(self, x1, x2):
+        return self.rdistance_to_distance(self.rdistance(x1, x2))
+
+    def rdistance(self, x1, x2):
+        x1 = jnp.asarray(x1)
+        x2 = jnp.asarray(x2)
+        return self._hav(x1[0], x1[1], x2[0], x2[1])
+
+    def rdistance_to_distance(self, rd):
+        return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(rd, 0.0, 1.0)))
+
+    def distance_to_rdistance(self, d):
+        return jnp.sin(d / 2.0) ** 2
+
+    def rdist(self, q, x):
+        q = jnp.asarray(q)
+        x = jnp.asarray(x)
+        return self._hav(q[:, None, 0], q[:, None, 1],
+                         x[None, :, 0], x[None, :, 1])
+
+    def rowwise_rdist(self, x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        return self._hav(x[..., 0], x[..., 1], y[..., 0], y[..., 1])
+
+
 def pairwise(x, metric: Metric | None = None):
     """Symmetric (n, n) distance matrix (distance.rs:58-74).
 
@@ -262,6 +364,12 @@ _REGISTRY = {
     "sqeuclidean": Euclidean,  # rdistance domain of Euclidean
     "cosine": Cosine,
     "minkowski": Minkowski,
+    "manhattan": Manhattan,
+    "cityblock": Manhattan,
+    "l1": Manhattan,
+    "chebyshev": Chebyshev,
+    "linf": Chebyshev,
+    "haversine": Haversine,
 }
 
 

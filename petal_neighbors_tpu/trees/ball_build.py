@@ -66,8 +66,17 @@ def _np_rowwise_dist(metric: Metric, x: np.ndarray, y: np.ndarray) -> np.ndarray
         nx = np.sqrt(np.einsum("ij,ij->i", x, x))
         ny = np.sqrt(np.einsum("ij,ij->i", y, y))
         return 1.0 - dot / (nx * ny)
+    if metric.name == "manhattan":
+        return np.abs(x - y).sum(axis=1)
     if isinstance(metric, Minkowski):
         return (np.abs(x - y) ** metric.p).sum(axis=1) ** (1.0 / metric.p)
+    if metric.name == "chebyshev":
+        return np.abs(x - y).max(axis=1)
+    if metric.name == "haversine":
+        hav = (np.sin((y[:, 0] - x[:, 0]) / 2) ** 2
+               + np.cos(x[:, 0]) * np.cos(y[:, 0])
+               * np.sin((y[:, 1] - x[:, 1]) / 2) ** 2)
+        return 2.0 * np.arcsin(np.sqrt(np.clip(hav, 0.0, 1.0)))
     # generic fallback: per-row pair call
     return np.array([float(metric.distance(x[i], y[i])) for i in range(len(x))])
 

@@ -134,3 +134,58 @@ class TestRegistry:
         assert Euclidean() != Cosine()
         assert Minkowski(2) == Minkowski(2)
         assert Minkowski(2) != Minkowski(3)
+
+
+class TestExtraMetrics:
+    def test_manhattan(self, rng):
+        from petal_neighbors_tpu import Manhattan
+        m = Manhattan()
+        x = rng.standard_normal((6, 4))
+        q = rng.standard_normal((3, 4))
+        got = np.asarray(m.rdist(q, x))
+        want = np.abs(q[:, None] - x[None]).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert float(m.distance(jnp.zeros(2), jnp.array([1.0, 2.0]))) == pytest.approx(3.0)
+
+    def test_chebyshev(self, rng):
+        from petal_neighbors_tpu import Chebyshev
+        m = Chebyshev()
+        x = rng.standard_normal((6, 4))
+        q = rng.standard_normal((3, 4))
+        got = np.asarray(m.rdist(q, x))
+        want = np.abs(q[:, None] - x[None]).max(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_haversine_known_values(self):
+        from petal_neighbors_tpu import Haversine
+        m = Haversine()
+        # quarter circle along a meridian: lat 0 -> pi/2
+        d = float(m.distance(jnp.array([0.0, 0.0]),
+                             jnp.array([np.pi / 2, 0.0])))
+        assert d == pytest.approx(np.pi / 2, rel=1e-6)
+        # antipodal on the equator
+        d = float(m.distance(jnp.array([0.0, 0.0]),
+                             jnp.array([0.0, np.pi])))
+        assert d == pytest.approx(np.pi, rel=1e-6)
+
+    def test_haversine_tree_query(self, rng):
+        from petal_neighbors_tpu import BallTree, Haversine
+        lat = rng.uniform(-np.pi / 3, np.pi / 3, (200, 1))
+        lon = rng.uniform(-np.pi, np.pi, (200, 1))
+        pts = np.concatenate([lat, lon], 1)
+        t = BallTree(pts, Haversine(), leaf_size=16)
+        q = pts[:5]
+        d, i = t.query_batch(q, 3)
+        # oracle
+        m = Haversine()
+        od = np.asarray(m.rdistance_to_distance(m.rdist(q, pts)))
+        oi = np.argsort(od, axis=1)[:, :3]
+        for r in range(5):
+            assert set(np.asarray(i[r]).tolist()) == set(oi[r].tolist())
+
+    def test_registry_names(self):
+        from petal_neighbors_tpu.distance import get_metric, Manhattan, Chebyshev, Haversine
+        assert isinstance(get_metric("manhattan"), Manhattan)
+        assert isinstance(get_metric("cityblock"), Manhattan)
+        assert isinstance(get_metric("chebyshev"), Chebyshev)
+        assert isinstance(get_metric("haversine"), Haversine)
