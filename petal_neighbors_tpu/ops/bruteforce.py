@@ -110,12 +110,12 @@ def _pallas_eligible(points, queries, k_eff, metric, force=False):
     hard = (isinstance(metric, Euclidean)          # kernel is sq-Euclidean
             and points.dtype == jnp.float32
             and queries.dtype == jnp.float32
-            and k_eff + RESCORE_SLACK <= 128)
+            and k_eff + RESCORE_SLACK <= 256)
     if force:
         if not hard:
             raise ValueError(
                 "backend='pallas' requires Euclidean metric, f32 data and "
-                "k <= 120")
+                "k <= 248")
         return True
     return (hard
             and points.shape[1] > DIRECT_DIM_MAX

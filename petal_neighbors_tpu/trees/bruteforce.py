@@ -101,7 +101,7 @@ class BruteForce:
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.num_points)
         if (self._pallas_pts is not None
-                and 1 <= k_eff <= 128 - bf.RESCORE_SLACK):
+                and 1 <= k_eff <= 256 - bf.RESCORE_SLACK):
             try:
                 return bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
