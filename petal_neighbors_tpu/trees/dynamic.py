@@ -186,3 +186,38 @@ class DynamicIndex:
     def query_nearest(self, point):
         i, d = self.query(point, 1)
         return int(i[0]), float(d[0])
+
+    def query_radius_batch(self, queries, distance, *, cap: int):
+        """Capped radius search over live points: base (tree-pruned,
+        BallTree boundary semantics) + delta (inclusive brute-force mask)
+        segments, tombstones filtered.  Returns (ids (Q, cap), counts)."""
+        qs = check_query_batch(queries, self.dim, self._base.points.dtype)
+        bi, bc = self._base.query_radius_batch(qs, distance, cap=cap)
+        base_map = jnp.asarray(self._base_ids, dtype=jnp.int32)
+        bi = jnp.where(bi >= 0, base_map[jnp.maximum(bi, 0)], -1)
+
+        delta = self._delta_index()
+        if delta is not None:
+            di, dc = delta.query_radius_batch(qs, distance, cap=cap)
+            delta_map = jnp.asarray(np.concatenate(self._delta_ids),
+                                    dtype=jnp.int32)
+            di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
+            bi = jnp.concatenate([bi, di], axis=1)
+            bc = bc + dc
+        if self._tombstones:
+            tomb = jnp.asarray(sorted(self._tombstones), dtype=jnp.int32)
+            dead = jnp.isin(bi, tomb) & (bi >= 0)
+            bc = bc - jnp.sum(dead, axis=1).astype(bc.dtype)
+            bi = jnp.where(dead, -1, bi)
+        # compact: real ids first (sort key pushes -1 entries last)
+        order = jnp.argsort(bi < 0, axis=1, stable=True)
+        bi = jnp.take_along_axis(bi, order, axis=1)[:, :cap]
+        return bi, bc
+
+    def query_radius(self, point, distance):
+        """Live ids within ``distance`` (sorted)."""
+        qs = check_query(point, self.dim, self._base.points.dtype)
+        ids, cnt = self.query_radius_batch(qs[None, :], distance,
+                                           cap=self.num_points)
+        out = np.asarray(ids[0])
+        return np.sort(out[out >= 0]).astype(np.int64)

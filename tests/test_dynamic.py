@@ -115,3 +115,23 @@ class TestDynamicReviewFindings:
         idx.add(rng.uniform(0, 1, (5, 2)).astype(np.float32))
         idx.rebuild()
         assert len(idx._base_rows) == 55
+
+
+class TestDynamicRadius:
+    def test_radius_through_mutations(self, rng):
+        pts = rng.uniform(0, 1, (80, 2)).astype(np.float32)
+        idx = DynamicIndex(pts, rebuild_threshold=10.0)
+        new = rng.uniform(0, 1, (8, 2)).astype(np.float32)
+        ids = idx.add(new)
+        idx.remove([2, int(ids[0])])
+        rows = {i: pts[i] for i in range(80)}
+        rows.update({int(i): r for i, r in zip(ids, new)})
+        del rows[2], rows[int(ids[0])]
+        q = rng.uniform(0, 1, 2).astype(np.float32)
+        got = set(idx.query_radius(q, 0.3).tolist())
+        live_ids = np.array(sorted(rows))
+        live = np.stack([rows[i] for i in live_ids])
+        d = np.sqrt(((live - q[None]) ** 2).sum(1))
+        # off-boundary radius: strict/inclusive cannot differ here
+        want = set(live_ids[d < 0.3].tolist())
+        assert got == want
