@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
-from .topk import merge_topk, nan_to_inf, rescore_exact, smallest_k
+from .topk import merge_topk, nan_to_inf, rescore_exact
 
 __all__ = ["knn", "radius_mask", "radius_counts", "compact_mask",
            "center_of"]

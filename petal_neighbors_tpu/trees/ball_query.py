@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
-from ..ops.topk import merge_topk, nan_to_inf, rescore_exact, smallest_k
+from ..ops.topk import merge_topk, nan_to_inf, rescore_exact
 from ..utils.tree_math import TreeShape
 
 __all__ = ["knn_query", "radius_query_mask"]
