@@ -289,23 +289,42 @@ def _vp_radius(points, vp, radius, near, far, root, queries, r, *,
 class VantagePointTree:
     """Exact VP-tree index (vantage_point_tree.rs:13-198)."""
 
-    def __init__(self, points, metric: Metric | str = "euclidean"):
+    def __init__(self, points, metric: Metric | str = "euclidean", *,
+                 builder: str = "auto"):
         """Build the tree (reference ``new``, vantage_point_tree.rs:51-72).
         Raises ``EmptyArrayError`` / ``NotContiguousError`` like the
-        reference."""
+        reference.
+
+        ``builder``: "auto" (on-device level-synchronous build for large
+        corpora on an accelerator, else the native/host build), "device",
+        or "host" (native C++ when available, NumPy otherwise — exact
+        reference node numbering).
+        """
         self.metric = get_metric(metric)
         self.points = check_points(points)
         host_pts = np.asarray(self.points)
-        # native (C++) builder when available: same semantics, no
-        # per-node Python overhead (O(n) recursion steps)
-        built = None
-        try:
-            from .. import native
-            built = native.vp_build(host_pts, self.metric)
-        except Exception:
+        if builder == "auto":
+            from ..ops.pallas.knn_kernel import pallas_available
+            builder = ("device"
+                       if host_pts.shape[0] >= 131072 and pallas_available()
+                       else "host")
+        if builder == "device":
+            from . import vantage_build_device
+            built = vantage_build_device.build_device(self.points,
+                                                      self.metric)
+        elif builder == "host":
+            # native (C++) builder when available: same semantics, no
+            # per-node Python overhead (O(n) recursion steps)
             built = None
-        if built is None:
-            built = _build_host(host_pts, self.metric)
+            try:
+                from .. import native
+                built = native.vp_build(host_pts, self.metric)
+            except Exception:
+                built = None
+            if built is None:
+                built = _build_host(host_pts, self.metric)
+        else:
+            raise ValueError(f"unknown builder {builder!r}")
         vp, radius, near, far, root, depth = built
         self._init_arrays(vp, radius, near, far, root, depth)
 

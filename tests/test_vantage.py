@@ -202,3 +202,37 @@ class TestVpRadiusTreePruned:
         cnt = np.asarray(cnt)
         assert (cnt == 80).all()
         assert (np.asarray(ids) >= 0).all()
+
+
+class TestDeviceVpBuilder:
+    @pytest.mark.parametrize("n", [1, 2, 7, 64, 150])
+    def test_queries_match_host_builder(self, rng, n):
+        pts = rng.uniform(0, 1, (n, 3))
+        vh = VantagePointTree.euclidean(pts)                 # host/native
+        vd = VantagePointTree(pts, Euclidean(), builder="device")
+        qs = rng.uniform(0, 1, (8, 3))
+        k = min(5, n)
+        dh, ih = vh.query_batch(qs, k)
+        dd, id_ = vd.query_batch(qs, k)
+        np.testing.assert_allclose(np.asarray(dd), np.asarray(dh),
+                                   rtol=1e-10, atol=1e-12)
+        for r in range(8):
+            assert (set(np.asarray(id_)[r].tolist())
+                    == set(np.asarray(ih)[r].tolist())), (n, r)
+
+    def test_structure_semantics(self, rng):
+        """Root vantage = last row; radius = median distance of the rest."""
+        from petal_neighbors_tpu.trees.vantage_build_device import build_device
+        pts = rng.uniform(0, 1, (11, 2))
+        vp, radius, near, far, root, depth = build_device(pts, Euclidean())
+        assert vp[root] == 10
+        d = np.sqrt(((pts[:10] - pts[10]) ** 2).sum(1))
+        assert radius[root] == pytest.approx(np.sort(d)[len(d) // 2])
+
+    def test_radius_query_device_tree(self, rng):
+        pts = rng.uniform(0, 1, (130, 2))
+        vd = VantagePointTree(pts, Euclidean(), builder="device")
+        q = rng.uniform(0, 1, 2)
+        got = sorted(vd.query_radius(q, 0.3).tolist())
+        od = np.sqrt(((pts - q[None]) ** 2).sum(-1))
+        assert got == np.flatnonzero(od <= 0.3).tolist()
