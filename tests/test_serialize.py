@@ -72,3 +72,22 @@ class TestBruteRoundTrip:
         i2, d2 = b2.query(q, 4)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(d1, d2)
+
+
+def test_device_built_trees_round_trip(rng, tmp_path):
+    """Device-built indexes (level-order VP numbering, device ball build)
+    must serialize and reload with identical query results."""
+    from petal_neighbors_tpu import BallTree, VantagePointTree, load_index
+    from petal_neighbors_tpu.distance import Euclidean
+    pts = rng.uniform(0, 1, (120, 3)).astype(np.float32)
+    q = rng.uniform(0, 1, 3).astype(np.float32)
+
+    t = BallTree.euclidean(pts, builder="device")
+    t.save(tmp_path / "bd.npz")
+    t2 = load_index(tmp_path / "bd.npz")
+    assert t.query(q, 5)[1].tolist() == t2.query(q, 5)[1].tolist()
+
+    v = VantagePointTree(pts, Euclidean(), builder="device")
+    v.save(tmp_path / "vd.npz")
+    v2 = load_index(tmp_path / "vd.npz")
+    assert v.query_nearest(q) == v2.query_nearest(q)
