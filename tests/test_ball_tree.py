@@ -448,3 +448,41 @@ class TestCappedRadius:
             want = set(np.flatnonzero(mask[r]).tolist())
             got = set(ids[r][ids[r] >= 0].tolist())
             assert got == want, r
+
+
+class TestRemainingContracts:
+    def test_compare_nodes_nan_returns_none(self):
+        """partial_cmp semantics (ball_tree.rs:341-343): NaN radius ->
+        incomparable -> None."""
+        pts = np.array([[0.0, 0.0], [np.nan, 1.0], [2.0, 2.0],
+                        [3.0, 3.0]])
+        t = BallTree.euclidean(pts, leaf_size=None)
+        radii = np.asarray(t.nodes.radii)
+        nan_nodes = np.flatnonzero(np.isnan(radii))
+        ok_nodes = np.flatnonzero(~np.isnan(radii))
+        if len(nan_nodes) and len(ok_nodes):
+            assert t.compare_nodes(int(nan_nodes[0]), int(ok_nodes[0])) is None
+        assert t.compare_nodes(int(ok_nodes[0]), int(ok_nodes[0])) == 0
+
+    def test_backend_flags(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.uniform(0, 1, (64, 40)).astype(np.float32)
+        qs = rng.uniform(0, 1, (4, 40)).astype(np.float32)
+        d_x, i_x = bf.knn(pts, qs, 3, backend="xla")
+        d_a, i_a = bf.knn(pts, qs, 3, backend="auto")  # cpu -> xla
+        np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_a),
+                                   rtol=1e-6)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            # forced pallas with non-f32 data must raise the clear error
+            bf.knn(pts.astype(np.float64), qs.astype(np.float64), 3,
+                   backend="pallas")
+
+    def test_rescore_disabled_still_close(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.uniform(0, 1, (300, 64)).astype(np.float32)
+        qs = rng.uniform(0, 1, (5, 64)).astype(np.float32)
+        d1, _ = bf.knn(pts, qs, 4, backend="xla", rescore=True)
+        d2, _ = bf.knn(pts, qs, 4, backend="xla", rescore=False)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-3)
