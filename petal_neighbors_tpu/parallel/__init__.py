@@ -20,6 +20,7 @@ XLA collectives over ICI:
 from .api import (
     default_mesh,
     init_distributed,
+    knn_feature_sharded,
     knn_points_sharded,
     knn_query_sharded,
     knn_ring,
@@ -31,6 +32,7 @@ __all__ = [
     "init_distributed",
     "knn_query_sharded",
     "knn_points_sharded",
+    "knn_feature_sharded",
     "knn_ring",
     "tree_query_sharded",
 ]

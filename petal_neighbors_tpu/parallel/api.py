@@ -20,7 +20,7 @@ from ..ops import bruteforce as bf
 from ..ops.topk import smallest_k
 
 __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
-           "knn_ring", "tree_query_sharded"]
+           "knn_feature_sharded", "knn_ring", "tree_query_sharded"]
 
 
 def init_distributed(**kwargs) -> None:
@@ -169,6 +169,73 @@ def knn_points_sharded(points, queries, k: int, metric: Metric | None = None,
         return smallest_k(flat_d, flat_i, k_eff)
 
     return run(ppad, queries)
+
+
+# ---------------------------------------------------------------------------
+# scheme 2b: tensor parallelism — the FEATURE axis sharded; partial
+# distances reduced with psum over ICI (SURVEY.md §2.7 TP row)
+# ---------------------------------------------------------------------------
+
+def knn_feature_sharded(points, queries, k: int,
+                        metric: Metric | None = None, *, mesh: Mesh,
+                        axis: str = "shards", chunk: int = 4096):
+    """Points AND queries sharded over the feature (d) axis: each device
+    computes the partial squared-distance contribution of its feature
+    slice and a ``psum`` over ICI completes every pairwise term before
+    the top-k — the classic tensor-parallel contraction layout, for
+    dimensionalities too wide for one chip's working set.
+
+    Exact (the psum reconstructs the full squared distance; ties resolve
+    identically on every device).  Euclidean only.
+    """
+    metric = metric or Euclidean()
+    if not isinstance(metric, Euclidean):
+        raise ValueError("feature sharding requires the Euclidean metric "
+                         "(additive over feature slices)")
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n, dim = points.shape
+    q = queries.shape[0]
+    nd = mesh.shape[axis]
+    dpad = (-dim) % nd
+    if dpad:  # zero columns contribute 0 to squared distances
+        points = jnp.pad(points, ((0, 0), (0, dpad)))
+        queries = jnp.pad(queries, ((0, 0), (0, dpad)))
+    k_eff = min(int(k), n)
+    c = min(chunk, n)
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, axis), P(None, axis)), out_specs=(P(), P()))
+    def run(pts_f, qs_f):
+        # feature slices: pts_f (n, d/nd), qs_f (q, d/nd)
+        pp = jnp.pad(pts_f, ((0, n_pad - n), (0, 0))) if n_pad != n else pts_f
+        chunks = pp.reshape(n_chunks, c, pts_f.shape[1])
+        col = jnp.arange(c, dtype=jnp.int32)
+
+        def body(carry, chunk_in):
+            best_d, best_i = carry
+            pc, base = chunk_in
+            diff = qs_f[:, None, :] - pc[None, :, :]
+            rd_part = jnp.sum(diff * diff, axis=-1)        # partial sq-dist
+            rd = jax.lax.psum(rd_part, axis)               # full sq-dist
+            ids = base + col
+            rd = jnp.where(ids[None, :] < n,
+                           jnp.where(jnp.isnan(rd), jnp.inf, rd), jnp.inf)
+            return smallest_k(jnp.concatenate([rd, best_d], axis=1),
+                              jnp.concatenate(
+                                  [jnp.broadcast_to(ids[None], rd.shape),
+                                   best_i], axis=1), k_eff), None
+
+        init = (jnp.full((q, k_eff), jnp.inf, dtype=pts_f.dtype),
+                jnp.full((q, k_eff), -1, dtype=jnp.int32))
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
+        (bd, bi), _ = jax.lax.scan(body, init, (chunks, bases))
+        return jnp.sqrt(bd), bi
+
+    return run(points, queries)
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,21 @@ class TestTreeQuerySharded:
         d1, i1 = tree.query_batch(qs, 4)
         np.testing.assert_allclose(np.asarray(d), np.asarray(d1), rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
+
+class TestFeatureSharded:
+    def test_matches_single_device(self, rng, mesh1d):
+        pts = rng.uniform(0, 1, (200, 19)).astype(np.float64)  # ragged dim
+        qs = rng.uniform(0, 1, (12, 19)).astype(np.float64)
+        d, i = parallel.knn_feature_sharded(pts, qs, 6, mesh=mesh1d)
+        od, oi = oracle(pts, qs, 6)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-10)
+        for r in range(12):
+            assert set(np.asarray(i)[r].tolist()) == set(oi[r].tolist())
+
+    def test_non_euclidean_rejected(self, rng, mesh1d):
+        from petal_neighbors_tpu import Cosine
+        with pytest.raises(ValueError):
+            parallel.knn_feature_sharded(
+                rng.uniform(0, 1, (10, 4)), rng.uniform(0, 1, (2, 4)), 2,
+                Cosine(), mesh=mesh1d)
