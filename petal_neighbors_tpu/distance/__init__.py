@@ -105,6 +105,10 @@ class Metric(abc.ABC):
     def __repr__(self):
         return f"{type(self).__name__}()"
 
+    def validate_dim(self, dim: int) -> None:
+        """Hook for metrics with dimensionality requirements (index
+        constructors call this before building)."""
+
 
 class Euclidean(Metric):
     """Euclidean metric (distance.rs:16-55).
@@ -308,6 +312,20 @@ class Haversine(Metric):
 
     name = "haversine"
 
+    def validate_dim(self, dim: int) -> None:
+        if dim != 2:
+            raise ValueError(
+                f"haversine requires (lat, lon) pairs: got dim {dim}, "
+                "expected 2")
+
+    @staticmethod
+    def _check_dim(x):
+        if x.shape[-1] != 2:
+            raise ValueError(
+                f"haversine requires (lat, lon) pairs: got dim "
+                f"{x.shape[-1]}, expected 2")
+        return x
+
     def _hav(self, lat1, lon1, lat2, lon2):
         dlat = lat2 - lat1
         dlon = lon2 - lon1
@@ -318,8 +336,8 @@ class Haversine(Metric):
         return self.rdistance_to_distance(self.rdistance(x1, x2))
 
     def rdistance(self, x1, x2):
-        x1 = jnp.asarray(x1)
-        x2 = jnp.asarray(x2)
+        x1 = self._check_dim(jnp.asarray(x1))
+        x2 = self._check_dim(jnp.asarray(x2))
         return self._hav(x1[0], x1[1], x2[0], x2[1])
 
     def rdistance_to_distance(self, rd):
@@ -329,14 +347,14 @@ class Haversine(Metric):
         return jnp.sin(d / 2.0) ** 2
 
     def rdist(self, q, x):
-        q = jnp.asarray(q)
-        x = jnp.asarray(x)
+        q = self._check_dim(jnp.asarray(q))
+        x = self._check_dim(jnp.asarray(x))
         return self._hav(q[:, None, 0], q[:, None, 1],
                          x[None, :, 0], x[None, :, 1])
 
     def rowwise_rdist(self, x, y):
-        x = jnp.asarray(x)
-        y = jnp.asarray(y)
+        x = self._check_dim(jnp.asarray(x))
+        y = self._check_dim(jnp.asarray(y))
         return self._hav(x[..., 0], x[..., 1], y[..., 0], y[..., 1])
 
 

@@ -100,13 +100,13 @@ class BallTree:
         self.metric = get_metric(metric)
         self.points = check_points(points)
         n = self.points.shape[0]
+        self.metric.validate_dim(self.points.shape[1])
         self._leaf_size = leaf_size
         self._shape = tree_shape(n, leaf_size)
 
         if builder == "auto":
-            from ..ops.pallas.knn_kernel import pallas_available
-            builder = ("device" if n >= 131072 and pallas_available()
-                       else "vectorized")
+            from ._auto import use_device_build
+            builder = "device" if use_device_build(n) else "vectorized" 
         if builder == "device":
             from . import ball_build_device
             data = ball_build_device.build_device(self.points, self._shape,

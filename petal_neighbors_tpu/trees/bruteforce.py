@@ -25,6 +25,7 @@ class BruteForce:
     def __init__(self, points, metric: Metric | str = "euclidean"):
         self.metric = get_metric(metric)
         self.points = check_points(points)         # public, original data
+        self.metric.validate_dim(self.points.shape[1])
         # The matmul distance form needs centered data for exactness
         # (ops.bruteforce.center_of) and index-resident squared norms;
         # both are paid once at build time.  Distances are unchanged

@@ -94,13 +94,13 @@ class DynamicIndex:
         """Tombstone live ids.  Removing an already-removed (or never
         live) id is a no-op; out-of-range ids raise."""
         live = set(self._live_ids().tolist())
-        pend = []
+        pend = set()
         for i in np.atleast_1d(np.asarray(ids)):
             i = int(i)
             if not 0 <= i < self._next_id:
                 raise IndexError(f"id {i} out of range")
             if i in live:
-                pend.append(i)
+                pend.add(i)
         if len(pend) >= self.num_points and pend:
             raise ValueError(
                 "cannot remove every remaining point: the index requires "
@@ -190,21 +190,33 @@ class DynamicIndex:
     def query_radius_batch(self, queries, distance, *, cap: int):
         """Capped radius search over live points: base (tree-pruned,
         BallTree boundary semantics) + delta (inclusive brute-force mask)
-        segments, tombstones filtered.  Returns (ids (Q, cap), counts)."""
+        segments, tombstones filtered.  Returns (ids (Q, cap), counts).
+
+        Each segment is over-fetched by ``len(tombstones)`` so dead rows
+        cannot crowd out live ones.  If a segment's raw within-radius
+        count exceeds even the over-fetched capacity, the returned count
+        is forced above ``cap`` — the standard enlarge-and-retry signal —
+        because the capped list (and the tombstone correction) would
+        otherwise be incomplete."""
         qs = check_query_batch(queries, self.dim, self._base.points.dtype)
-        bi, bc = self._base.query_radius_batch(qs, distance, cap=cap)
+        t = len(self._tombstones)
+        fetch = cap + t
+        bi, bc_raw = self._base.query_radius_batch(qs, distance, cap=fetch)
+        overflow = bc_raw > fetch
         base_map = jnp.asarray(self._base_ids, dtype=jnp.int32)
         bi = jnp.where(bi >= 0, base_map[jnp.maximum(bi, 0)], -1)
+        bc = bc_raw
 
         delta = self._delta_index()
         if delta is not None:
-            di, dc = delta.query_radius_batch(qs, distance, cap=cap)
+            di, dc_raw = delta.query_radius_batch(qs, distance, cap=fetch)
+            overflow = overflow | (dc_raw > fetch)
             delta_map = jnp.asarray(np.concatenate(self._delta_ids),
                                     dtype=jnp.int32)
             di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
             bi = jnp.concatenate([bi, di], axis=1)
-            bc = bc + dc
-        if self._tombstones:
+            bc = bc + dc_raw
+        if t:
             tomb = jnp.asarray(sorted(self._tombstones), dtype=jnp.int32)
             dead = jnp.isin(bi, tomb) & (bi >= 0)
             bc = bc - jnp.sum(dead, axis=1).astype(bc.dtype)
@@ -212,6 +224,7 @@ class DynamicIndex:
         # compact: real ids first (sort key pushes -1 entries last)
         order = jnp.argsort(bi < 0, axis=1, stable=True)
         bi = jnp.take_along_axis(bi, order, axis=1)[:, :cap]
+        bc = jnp.where(overflow, jnp.maximum(bc, cap + 1), bc)
         return bi, bc
 
     def query_radius(self, point, distance):

@@ -302,12 +302,12 @@ class VantagePointTree:
         """
         self.metric = get_metric(metric)
         self.points = check_points(points)
+        self.metric.validate_dim(self.points.shape[1])
         host_pts = np.asarray(self.points)
         if builder == "auto":
-            from ..ops.pallas.knn_kernel import pallas_available
-            builder = ("device"
-                       if host_pts.shape[0] >= 131072 and pallas_available()
-                       else "host")
+            from ._auto import use_device_build
+            builder = "device" if use_device_build(host_pts.shape[0]) \
+                else "host" 
         if builder == "device":
             from . import vantage_build_device
             built = vantage_build_device.build_device(self.points,

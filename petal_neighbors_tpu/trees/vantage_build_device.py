@@ -58,7 +58,8 @@ class VpShape:
     is_leaf: np.ndarray = None
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)  # entries are O(#segments) — the per-position
+# arrays are derived at trace time in _build, not cached here
 def vp_shape(n: int) -> VpShape:
     """Mirrors create_node's slicing (vantage_point_tree.rs:169-195):
     segment [s, e) has vantage at e-1; rest [s, e-1) splits at
@@ -73,33 +74,14 @@ def vp_shape(n: int) -> VpShape:
         ends = np.array([e for _, e, _ in frontier])
         node_ids = np.array([i for _, _, i in frontier])
 
-        # block ids: each level segment is one block; every position not
-        # in a segment is its own singleton block (pins it in the sort)
-        bnd = np.zeros(n + 1, dtype=bool)
-        bnd[0] = True
-        in_seg = np.zeros(n, dtype=bool)
-        for s, e in zip(starts, ends):
-            bnd[s] = True
-            bnd[e] = True
-            in_seg[s:e] = True
-        out = np.flatnonzero(~in_seg)
-        bnd[out] = True
-        bnd[out + 1] = True
-        block_of_pos = (np.cumsum(bnd[:n]) - 1).astype(np.int32)
-
-        # vantage position for each position's segment (self if pinned)
-        vpp = np.arange(n, dtype=np.int32)
-        for s, e in zip(starts, ends):
-            vpp[s:e] = e - 1
-
         vp_positions = (ends - 1).astype(np.int32)
         # median position of the sorted rest; singletons point at e-1
         # (unused — radius stays MAX)
         halves = np.maximum(ends - 1 - starts, 0) // 2
         rad_positions = (starts + halves).astype(np.int32)
 
-        levels.append((node_ids, vp_positions, rad_positions,
-                       block_of_pos, vpp))
+        levels.append((starts.astype(np.int64), ends.astype(np.int64),
+                       node_ids, vp_positions, rad_positions))
 
         nxt = []
         for (s, e, node) in frontier:
@@ -142,8 +124,25 @@ def _build(points, *, shape: VpShape, metric: Metric):
     radius = jnp.full(shape.n_nodes, fmax, dtype=dtype)
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    for node_ids, vp_positions, rad_positions, block_np, vpp_np in shape.levels:
-        block = jnp.asarray(block_np)
+    for starts, ends, node_ids, vp_positions, rad_positions in shape.levels:
+        # per-position maps, derived at trace time (kept out of the
+        # vp_shape cache: they are O(n) per level)
+        # block ids: each level segment is one block; positions outside
+        # any segment are singleton blocks (pins them through the sort)
+        bnd = np.zeros(n + 1, dtype=bool)
+        bnd[0] = True
+        in_seg = np.zeros(n, dtype=bool)
+        for s_, e_ in zip(starts, ends):
+            bnd[s_] = True
+            bnd[e_] = True
+            in_seg[s_:e_] = True
+        out = np.flatnonzero(~in_seg)
+        bnd[out] = True
+        bnd[out + 1] = True
+        block = jnp.asarray((np.cumsum(bnd[:n]) - 1).astype(np.int32))
+        vpp_np = np.arange(n, dtype=np.int32)
+        for s_, e_ in zip(starts, ends):
+            vpp_np[s_:e_] = e_ - 1
         vpp = jnp.asarray(vpp_np)
 
         # distance of every in-level member to its segment's vantage

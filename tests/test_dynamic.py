@@ -135,3 +135,31 @@ class TestDynamicRadius:
         # off-boundary radius: strict/inclusive cannot differ here
         want = set(live_ids[d < 0.3].tolist())
         assert got == want
+
+
+class TestDynamicRadiusReviewFindings:
+    def test_tombstones_cannot_crowd_radius(self, rng):
+        """Review: dead rows within radius must not displace live ones
+        from the capped list, and counts must be exact."""
+        pts = np.zeros((10, 2), dtype=np.float32)
+        pts[:, 0] = np.arange(10) * 0.01          # all within r of origin
+        idx = DynamicIndex(pts, rebuild_threshold=10.0)
+        idx.remove([0, 1, 2])                     # 3 closest die
+        ids, cnt = idx.query_radius_batch(
+            np.zeros((1, 2), dtype=np.float32), 1.0, cap=7)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        got = set(ids[0][ids[0] >= 0].tolist())
+        assert got == {3, 4, 5, 6, 7, 8, 9}
+        assert cnt[0] == 7
+
+    def test_remove_duplicate_ids_single_call(self, rng):
+        idx = DynamicIndex(rng.uniform(0, 1, (2, 2)).astype(np.float32),
+                           rebuild_threshold=10.0)
+        idx.remove([0, 0])                        # duplicates = one removal
+        assert idx.num_points == 1
+
+    def test_haversine_dim_check(self):
+        from petal_neighbors_tpu import BallTree, Haversine
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            BallTree(np.random.rand(10, 3), Haversine(), leaf_size=4)
