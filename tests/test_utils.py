@@ -1,0 +1,58 @@
+"""Utility-layer coverage: profiling helpers, error types, tree geometry."""
+
+import numpy as np
+import pytest
+
+from petal_neighbors_tpu.errors import (
+    ArrayError, EmptyArrayError, NotContiguousError,
+)
+from petal_neighbors_tpu.utils.profiling import wall_time
+from petal_neighbors_tpu.utils.tree_math import tree_shape
+
+
+class TestErrors:
+    def test_hierarchy(self):
+        assert issubclass(EmptyArrayError, ArrayError)
+        assert issubclass(NotContiguousError, ArrayError)
+        assert issubclass(ArrayError, ValueError)
+
+    def test_messages(self):
+        assert str(EmptyArrayError()) == "array is empty"
+        assert str(NotContiguousError()) == "array is not contiguous in memory"
+
+
+class TestWallTime:
+    def test_times_and_syncs(self):
+        import jax.numpy as jnp
+        out = {}
+        with wall_time(out):
+            out["result"] = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        assert out["seconds"] > 0
+        assert float(out["result"][0, 0]) == 64.0
+
+
+class TestTreeShapeGeometry:
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 17, 64, 100])
+    def test_ranges_partition(self, n):
+        for leaf in (None, 4, 32):
+            s = tree_shape(n, leaf)
+            # root covers everything; siblings partition the parent
+            assert s.range_start[0] == 0 and s.range_end[0] == n
+            for i in range(s.n_leaves - 1):
+                l, r = 2 * i + 1, 2 * i + 2
+                assert s.range_start[l] == s.range_start[i]
+                assert s.range_end[r] == s.range_end[i]
+                assert s.range_end[l] == s.range_start[r]
+            # every node non-empty
+            assert (s.range_end > s.range_start).all()
+
+    def test_leaf_size_bound(self):
+        for n in (5, 100, 1000):
+            for leaf in (4, 16, 128):
+                s = tree_shape(n, leaf)
+                lo = s.leaf_offset
+                sizes = s.range_end[lo:] - s.range_start[lo:]
+                assert sizes.max() <= max(leaf, 2)
+
+    def test_interned(self):
+        assert tree_shape(40, None) is tree_shape(40, None)
