@@ -17,7 +17,7 @@ multi-chip search (``petal_neighbors_tpu.parallel``).
 
 from . import distance
 from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
-                       Metric, Minkowski, pairwise)
+                       Metric, Minkowski, SqEuclidean, pairwise)
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
 from .trees import BallTree, BruteForce, DynamicIndex, VantagePointTree
 from .utils.serialize import load_index, save_index
@@ -28,6 +28,7 @@ __all__ = [
     "distance",
     "Metric",
     "Euclidean",
+    "SqEuclidean",
     "Cosine",
     "Minkowski",
     "Manhattan",

@@ -32,6 +32,7 @@ import numpy as np
 __all__ = [
     "Metric",
     "Euclidean",
+    "SqEuclidean",
     "Cosine",
     "Minkowski",
     "Manhattan",
@@ -60,6 +61,18 @@ class Metric(abc.ABC):
     """Distance-metric interface (reference trait: distance.rs:9-14)."""
 
     name: str = "metric"
+
+    #: distances depend only on coordinate differences, so data may be
+    #: translated (centered) without changing any distance — the numeric
+    #: fix for the matmul form's cancellation (see ``pairwise`` and
+    #: ``ops.bruteforce.center_of``).
+    translation_invariant: bool = False
+
+    #: metric-tree pruning bounds (``max(d(q,c) − r, 0)``,
+    #: ball_tree.rs:463-481) require the triangle inequality; metrics that
+    #: violate it (e.g. squared Euclidean) are rejected by the tree
+    #: constructors and served by ``BruteForce`` only.
+    tree_compatible: bool = True
 
     # -- pair tier (1-D vectors), reference trait parity ------------------
     @abc.abstractmethod
@@ -119,6 +132,7 @@ class Euclidean(Metric):
     """
 
     name = "euclidean"
+    translation_invariant = True
 
     def distance(self, x1, x2):
         d = jnp.asarray(x1) - jnp.asarray(x2)
@@ -156,6 +170,30 @@ class Euclidean(Metric):
     def rowwise_rdist(self, x, y):
         d = jnp.asarray(x) - jnp.asarray(y)
         return jnp.sum(d * d, axis=-1)
+
+
+class SqEuclidean(Euclidean):
+    """Squared Euclidean: reported distances stay in the squared
+    (rdistance) domain; both conversions are the identity.
+
+    Squared distances violate the triangle inequality, so the metric-tree
+    pruning bound ``max(d(q,c) − r, 0)`` over-prunes (``d² − r² =
+    (d−r)(d+r) > (d−r)²`` whenever ``d > r``) — tree indexes reject this
+    metric; use ``BruteForce`` (which needs no bounds) or ``Euclidean``
+    and square the outputs.
+    """
+
+    name = "sqeuclidean"
+    tree_compatible = False
+
+    def distance(self, x1, x2):
+        return self.rdistance(x1, x2)
+
+    def rdistance_to_distance(self, rd):
+        return rd
+
+    def distance_to_rdistance(self, d):
+        return d
 
 
 class Cosine(Metric):
@@ -212,6 +250,7 @@ class Minkowski(Metric):
     """
 
     name = "minkowski"
+    translation_invariant = True
 
     def __init__(self, p: float = 2.0):
         if not p >= 1.0:
@@ -277,6 +316,7 @@ class Chebyshev(Metric):
     """L-infinity metric: max coordinate difference."""
 
     name = "chebyshev"
+    translation_invariant = True
 
     def distance(self, x1, x2):
         return jnp.max(jnp.abs(jnp.asarray(x1) - jnp.asarray(x2)))
@@ -366,12 +406,21 @@ def pairwise(x, metric: Metric | None = None):
     matrix comes from one MXU matmul and is then exactly symmetrized the
     same way (upper triangle mirrored) so ``D[i,j] == D[j,i]`` bit-for-bit
     and ``D[i,i] == 0``.
+
+    Translation-invariant metrics are centered first (``x − nanmean(x)``):
+    the ``‖a‖²+‖b‖²−2abᵀ`` matmul form's absolute error scales with
+    ``eps·‖x‖²``, so un-centered data (e.g. a feature matrix with mean
+    100) yields relative errors of several hundred percent; centering
+    shrinks the norms to data-variance scale without changing any
+    distance (same scheme as ``ops.bruteforce.center_of``).
     """
     metric = metric or Euclidean()
     x = jnp.asarray(x)
     n = x.shape[0]
     if n < 2:
         return jnp.zeros((n, n), dtype=x.dtype)
+    if metric.translation_invariant:
+        x = x - jnp.nan_to_num(jnp.nanmean(x, axis=0))
     d = metric.rdistance_to_distance(metric.rdist(x, x))
     upper = jnp.triu(d, k=1)
     return upper + upper.T
@@ -379,7 +428,7 @@ def pairwise(x, metric: Metric | None = None):
 
 _REGISTRY = {
     "euclidean": Euclidean,
-    "sqeuclidean": Euclidean,  # rdistance domain of Euclidean
+    "sqeuclidean": SqEuclidean,
     "cosine": Cosine,
     "minkowski": Minkowski,
     "manhattan": Manhattan,

@@ -14,6 +14,7 @@ It is simultaneously:
 from __future__ import annotations
 
 import math
+import warnings
 from functools import partial
 
 import jax
@@ -56,6 +57,25 @@ def _pick_chunk(n: int, q: int, dim: int, chunk: int | None,
 
 RESCORE_SLACK = 8
 
+_fallback_warned = False
+
+
+def warn_pallas_fallback(exc: Exception) -> None:
+    """Surface a Pallas→XLA fallback instead of silently eating it.
+
+    The XLA scan path is exact but ~5x slower on SIFT-scale workloads; a
+    TPU compile regression must show up as a warning, not a mysterious
+    QPS drop.  Warned once per process (the exception repeats per call).
+    """
+    global _fallback_warned
+    if not _fallback_warned:
+        _fallback_warned = True
+        warnings.warn(
+            "fused Pallas k-NN kernel failed "
+            f"({type(exc).__name__}: {exc}); serving from the ~5x slower "
+            "XLA path for the rest of this process",
+            RuntimeWarning, stacklevel=3)
+
 
 def knn(points, queries, k: int, metric: Metric | None = None,
         *, chunk: int | None = None, point_norms=None,
@@ -93,10 +113,11 @@ def knn(points, queries, k: int, metric: Metric | None = None,
         try:
             pp, pn = pad_for_pallas(points, point_norms)
             return knn_pallas_prepadded(pp, pn, queries, k_eff, n)
-        except Exception:
+        except Exception as exc:
             if backend == "pallas":
                 raise
             # remote-compile hiccups etc.: fall through to the XLA path
+            warn_pallas_fallback(exc)
     c = _pick_chunk(n, queries.shape[0], points.shape[1], chunk)
     if point_norms is None:
         return _knn_jit(points, queries, k=k_eff, metric=metric, chunk=c,
@@ -107,7 +128,10 @@ def knn(points, queries, k: int, metric: Metric | None = None,
 
 def _pallas_eligible(points, queries, k_eff, metric, force=False):
     from .pallas.knn_kernel import pallas_available
-    hard = (isinstance(metric, Euclidean)          # kernel is sq-Euclidean
+    # exact-type check: knn_pallas_prepadded converts rdist -> distance
+    # with a hardcoded sqrt, which is wrong for subclasses that redefine
+    # the conversion (SqEuclidean reports in the squared domain)
+    hard = (type(metric) is Euclidean
             and points.dtype == jnp.float32
             and queries.dtype == jnp.float32
             and k_eff + RESCORE_SLACK <= 256)

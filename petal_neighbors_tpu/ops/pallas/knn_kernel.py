@@ -206,7 +206,8 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     """Exact k-NN via the fused Pallas kernel (squared-Euclidean).
 
     Caller contract: N % tn == 0, Q % tq == 0 (pad with NaN rows — they
-    can never be selected), f32 inputs, k <= 128.
+    can never be selected), f32 inputs, k <= 256 (callers cap the scan
+    width at ``k + RESCORE_SLACK <= 256``, see ``_pallas_eligible``).
 
     Returns (rdist (Q, k) ascending, indices (Q, k)); indices of padded
     rows never appear; rdist domain (convert at the boundary).
@@ -214,6 +215,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     n, d = points.shape
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
+    assert 1 <= k <= 256, k
     n_chunks = n // tn
     qn = jnp.sum(queries * queries, axis=-1)[None, :]     # (1, Q)
     xn = point_norms[None, :]                              # (1, N)

@@ -98,6 +98,11 @@ class BallTree:
             ball_tree.rs:545-569).
         """
         self.metric = get_metric(metric)
+        if not self.metric.tree_compatible:
+            raise ValueError(
+                f"metric {self.metric.name!r} violates the triangle "
+                "inequality, so ball-tree pruning bounds are invalid; "
+                "use BruteForce for this metric")
         self.points = check_points(points)
         n = self.points.shape[0]
         self.metric.validate_dim(self.points.shape[1])

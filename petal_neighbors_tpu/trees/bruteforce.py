@@ -41,6 +41,9 @@ class BruteForce:
                                        axis=-1)
         else:
             self.point_norms = None
+        #: backend that served the most recent ``query_batch`` call
+        #: ("pallas" | "xla" | None before the first query)
+        self.last_backend = None
         # Pre-padded copies for the fused Pallas kernel (padding a large
         # corpus per query call costs an extra full-index HBM copy)
         self._pallas_pts = self._pallas_norms = None
@@ -95,7 +98,7 @@ class BruteForce:
         q = check_query(point, self.dim, self.points.dtype)
         mask = bf.radius_mask(self._qpoints, self._q(q[None, :]), distance,
                               self.metric)
-        return np.flatnonzero(np.asarray(mask[0])).astype(np.int32)
+        return np.flatnonzero(np.asarray(mask[0])).astype(np.int64)
 
     # -- batched API (the TPU path) ----------------------------------------
     def query_batch(self, queries, k: int, *, chunk: int | None = None):
@@ -104,27 +107,39 @@ class BruteForce:
         if (self._pallas_pts is not None
                 and 1 <= k_eff <= 256 - bf.RESCORE_SLACK):
             try:
-                return bf.knn_pallas_prepadded(
+                d, i = bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
                     k_eff, self.num_points, self._center)
-            except Exception:
-                pass  # fall back to the portable path
+                self.last_backend = "pallas"
+                return d, i
+            except Exception as exc:
+                bf.warn_pallas_fallback(exc)
         d, i = bf.knn(self._qpoints, self._q(qs), k, self.metric,
                       chunk=chunk, point_norms=self.point_norms,
-                      assume_centered=True)
+                      assume_centered=True, backend="xla")
+        self.last_backend = "xla"
         return d, i
 
-    def query_radius_count_batch(self, queries, distance):
+    def query_radius_count_batch(self, queries, distance, *,
+                                 inclusive: bool = True):
         """Per-query neighbor counts only (no lists materialized)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
-                              self.metric)
+                              self.metric, inclusive=inclusive)
         return bf.radius_counts(mask)
 
-    def query_radius_batch(self, queries, distance, *, cap: int | None = None):
+    def query_radius_batch(self, queries, distance, *, cap: int | None = None,
+                           inclusive: bool = True):
+        """Batched radius search: (Q, n) mask, or (ids, counts) with ``cap``.
+
+        ``inclusive`` selects the boundary rule: ``d <= r`` (default, the
+        reference's documented contract, ball_tree.rs:123-124) or strict
+        ``d < r`` (the reference's leaf-scan rule, ball_tree.rs:277 —
+        DynamicIndex uses this for delta rows so semantics match the base
+        tree's leaf path)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
-                              self.metric)
+                              self.metric, inclusive=inclusive)
         if cap is None:
             return mask
         return bf.compact_mask(mask, cap)

@@ -189,8 +189,15 @@ class DynamicIndex:
 
     def query_radius_batch(self, queries, distance, *, cap: int):
         """Capped radius search over live points: base (tree-pruned,
-        BallTree boundary semantics) + delta (inclusive brute-force mask)
-        segments, tombstones filtered.  Returns (ids (Q, cap), counts).
+        BallTree boundary semantics) + delta segments, tombstones
+        filtered.  Returns (ids (Q, cap), counts).
+
+        Boundary rule: delta rows are scanned with the same strict
+        ``d < r`` rule as the base tree's leaf path (a brute scan *is* a
+        leaf scan), so a point keeps its membership when ``rebuild()``
+        moves it from delta into the base — except through the base's own
+        reference quirk (whole-subtree takes are inclusive ``ub <= r``,
+        ball_tree.rs:271-277), which applies to every BallTree point.
 
         Each segment is over-fetched by ``len(tombstones)`` so dead rows
         cannot crowd out live ones.  If a segment's raw within-radius
@@ -209,7 +216,8 @@ class DynamicIndex:
 
         delta = self._delta_index()
         if delta is not None:
-            di, dc_raw = delta.query_radius_batch(qs, distance, cap=fetch)
+            di, dc_raw = delta.query_radius_batch(qs, distance, cap=fetch,
+                                                  inclusive=False)
             overflow = overflow | (dc_raw > fetch)
             delta_map = jnp.asarray(np.concatenate(self._delta_ids),
                                     dtype=jnp.int32)

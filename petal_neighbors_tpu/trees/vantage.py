@@ -301,6 +301,11 @@ class VantagePointTree:
         reference node numbering).
         """
         self.metric = get_metric(metric)
+        if not self.metric.tree_compatible:
+            raise ValueError(
+                f"metric {self.metric.name!r} violates the triangle "
+                "inequality, so VP-tree pruning bounds are invalid; "
+                "use BruteForce for this metric")
         self.points = check_points(points)
         self.metric.validate_dim(self.points.shape[1])
         host_pts = np.asarray(self.points)

@@ -144,3 +144,78 @@ class TestBruteForceIndex:
         d, i = idx.query_batch(pts[:8], 3)
         assert d.shape == (8, 3)
         np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(8))
+
+
+class TestPallasFallbackSurfacing:
+    def test_fallback_warns_once_and_stays_exact(self, rng, monkeypatch):
+        """A failing Pallas kernel must warn (not silently serve the ~5x
+        slower XLA path) and still return exact results."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+
+        pts = rng.standard_normal((64, 40)).astype(np.float32)
+        qs = rng.standard_normal((8, 40)).astype(np.float32)
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated kernel compile failure")
+
+        monkeypatch.setattr(bf, "_pallas_eligible",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(bf, "knn_pallas_prepadded", boom)
+        monkeypatch.setattr(bf, "_fallback_warned", False)
+
+        with pytest.warns(RuntimeWarning, match="Pallas"):
+            d, i = bf.knn(pts, qs, 5)
+        # second call: no repeat warning
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            bf.knn(pts, qs, 5)
+
+        oracle = np.sqrt(np.sum(
+            (qs[:, None, :].astype(np.float64)
+             - pts[None, :, :].astype(np.float64)) ** 2, axis=-1))
+        oi = np.argsort(oracle, axis=1, kind="stable")[:, :5]
+        assert np.array_equal(np.sort(np.asarray(i)), np.sort(oi))
+
+    def test_forced_pallas_still_raises(self, rng, monkeypatch):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((64, 40)).astype(np.float32)
+        qs = rng.standard_normal((4, 40)).astype(np.float32)
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated failure")
+
+        monkeypatch.setattr(bf, "knn_pallas_prepadded", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            bf.knn(pts, qs, 5, backend="pallas")
+
+
+class TestRadiusIdDtypeContract:
+    def test_all_indexes_return_int64_radius_ids(self, rng):
+        """Radius-query ids are int64 across every index type (contract
+        parity: the reference returns usize everywhere)."""
+        import petal_neighbors_tpu as pn
+        pts = rng.standard_normal((60, 6)).astype(np.float32)
+        q = pts[0]
+        for idx in (pn.BallTree.euclidean(pts),
+                    pn.VantagePointTree.euclidean(pts),
+                    pn.BruteForce.euclidean(pts),
+                    pn.DynamicIndex(pts)):
+            out = idx.query_radius(q, 1.0)
+            assert out.dtype == np.int64, type(idx).__name__
+
+
+def test_sqeuclidean_never_takes_pallas_path(rng, monkeypatch):
+    """The fused kernel converts rdist->distance with a hardcoded sqrt,
+    so SqEuclidean (identity conversion) must never be routed to it."""
+    from petal_neighbors_tpu.distance import SqEuclidean
+    from petal_neighbors_tpu.ops import bruteforce as bf
+    import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+    monkeypatch.setattr(kk, "pallas_available", lambda: True)
+    pts = rng.standard_normal((8192, 64)).astype(np.float32)
+    qs = rng.standard_normal((4, 64)).astype(np.float32)
+    import jax.numpy as jnp
+    assert not bf._pallas_eligible(jnp.asarray(pts), jnp.asarray(qs), 5,
+                                   SqEuclidean())
+    assert bf._pallas_eligible(jnp.asarray(pts), jnp.asarray(qs), 5,
+                               bf.Euclidean())

@@ -189,3 +189,54 @@ class TestExtraMetrics:
         assert isinstance(get_metric("cityblock"), Manhattan)
         assert isinstance(get_metric("chebyshev"), Chebyshev)
         assert isinstance(get_metric("haversine"), Haversine)
+
+
+class TestPairwiseAccuracy:
+    def test_uncentered_high_dim_f32(self, rng):
+        """pairwise() must survive large-mean f32 data at dim > 32: the
+        un-centered matmul form showed ~500% relative error (ADVICE r1);
+        centering (translation-invariant) restores exactness."""
+        x32 = (rng.standard_normal((64, 64)) * 0.1 + 100.0).astype(np.float32)
+        d = np.asarray(pairwise(x32))
+        x64 = x32.astype(np.float64)
+        diff = x64[:, None, :] - x64[None, :, :]
+        oracle = np.sqrt(np.sum(diff * diff, axis=-1))
+        np.fill_diagonal(oracle, 0.0)
+        err = np.abs(d - oracle) / np.maximum(oracle, 1e-12)
+        np.fill_diagonal(err, 0.0)
+        assert float(err.max()) < 1e-3
+
+    def test_nan_rows_do_not_poison_centering(self, rng):
+        x = rng.standard_normal((8, 48)).astype(np.float32)
+        x[3] = np.nan
+        d = np.asarray(pairwise(x))
+        finite = np.delete(np.arange(8), 3)
+        sub = d[np.ix_(finite, finite)]
+        assert np.isfinite(sub).all()
+
+
+class TestSqEuclidean:
+    def test_squared_domain(self):
+        m = get_metric("sqeuclidean")
+        x = jnp.array([3.0, 4.0])
+        y = jnp.array([0.0, 0.0])
+        assert float(m.distance(x, y)) == pytest.approx(25.0)
+        assert float(m.rdistance_to_distance(25.0)) == pytest.approx(25.0)
+
+    def test_bruteforce_query_squared(self, rng):
+        from petal_neighbors_tpu import BruteForce
+        pts = rng.standard_normal((50, 8)).astype(np.float32)
+        idx = BruteForce(pts, "sqeuclidean")
+        i, d = idx.query(pts[7], 3)
+        assert i[0] == 7 and d[0] == pytest.approx(0.0, abs=1e-6)
+        true = np.sum((pts - pts[7]) ** 2, axis=1)
+        order = np.argsort(true, kind="stable")
+        np.testing.assert_allclose(d, true[order[:3]], rtol=1e-5, atol=1e-6)
+
+    def test_trees_reject(self, rng):
+        from petal_neighbors_tpu import BallTree, VantagePointTree
+        pts = rng.standard_normal((20, 4))
+        with pytest.raises(ValueError, match="triangle"):
+            BallTree(pts, "sqeuclidean")
+        with pytest.raises(ValueError, match="triangle"):
+            VantagePointTree(pts, "sqeuclidean")

@@ -163,3 +163,28 @@ class TestDynamicRadiusReviewFindings:
         import pytest as _pt
         with _pt.raises(ValueError):
             BallTree(np.random.rand(10, 3), Haversine(), leaf_size=4)
+
+
+class TestRadiusBoundaryUnification:
+    def test_exact_boundary_point_strict_in_delta(self, rng):
+        """A delta row at exactly distance r follows the strict leaf-scan
+        rule (d < r): excluded before rebuild, and after rebuild it can
+        only re-enter through the base tree's own reference quirk
+        (inclusive whole-subtree takes) — identical to any BallTree point."""
+        base = rng.standard_normal((40, 4)).astype(np.float64)
+        d = DynamicIndex(base, leaf_size=4, rebuild_threshold=10.0)
+        q = np.zeros(4)
+        r = 2.0
+        on_boundary = np.array([2.0, 0.0, 0.0, 0.0])   # exactly d == r
+        inside = np.array([1.0, 0.0, 0.0, 0.0])        # d < r
+        bid = d.add(on_boundary)[0]
+        iid = d.add(inside)[0]
+        got = d.query_radius(q, r)
+        assert iid in got
+        assert bid not in got
+        # post-rebuild: strict leaf scan still excludes it unless a
+        # wholly-contained node covers it (allowed reference behavior);
+        # the d < r point must always stay in.
+        d.rebuild()
+        got2 = d.query_radius(q, r)
+        assert iid in got2

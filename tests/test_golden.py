@@ -4,6 +4,14 @@ Pins the reference-semantics builders' exact outputs (idx permutation
 including quickselect tie order; VP structure) across code changes —
 tests/golden/build_fixtures.json was generated from
 ``build_reference_order`` / ``_build_host`` and must never drift.
+
+Provenance: the fixtures are SELF-generated (this repo's own builders),
+so the tie-order claims are regression pinning of a careful transcription
+of ball_tree.rs:545-569 / vantage_point_tree.rs:146-197 — by-construction
+parity, not by-measurement (no Rust toolchain exists in this
+environment).  If one ever appears, regenerate from the crate itself
+(e.g. dump ``idx`` from ball_tree.rs:742-765-style runs on these seeds)
+and replace the fixtures.
 """
 
 import json
