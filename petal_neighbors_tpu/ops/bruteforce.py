@@ -57,6 +57,23 @@ def _pick_chunk(n: int, q: int, dim: int, chunk: int | None,
 
 RESCORE_SLACK = 8
 
+
+@partial(jax.jit, static_argnames=("tn",))
+def prepare_euclidean_index(points, tn: int):
+    """One jitted program computing every index-resident artifact for the
+    high-dim Euclidean path: center, centered points, squared norms,
+    kernel-padded copies, and the bf16 hi/lo split planes.  Fused so index
+    build is ONE device dispatch (each eager op costs a tunnel RTT; the
+    unfused sequence measured 19.5 s vs 5.5 s at SIFT-1M)."""
+    from .pallas.knn_kernel import prepare_split
+
+    mu = center_of(points)
+    qpts = points - mu
+    norms = jnp.sum(qpts * qpts, axis=-1)
+    ppad, pnorm = pad_for_pallas(qpts, norms, tn=tn)
+    split = prepare_split(ppad)
+    return mu, qpts, norms, ppad, pnorm, split
+
 _fallback_warned = False
 
 
@@ -148,31 +165,54 @@ def _pallas_eligible(points, queries, k_eff, metric, force=False):
 
 
 def pallas_tile_n(dim: int) -> int:
-    """Point-chunk tile length: shrinks at very high dim to fit VMEM."""
-    return 2048 if dim <= 256 else 512
+    """Point-chunk tile length: shrinks at very high dim to fit VMEM.
+    4096 measured best at SIFT dims (44.8k QPS vs 42.8k at 2048 on the
+    1M x 128 headline, HIGHEST; same ordering at high/bf16)."""
+    return 4096 if dim <= 256 else 512
 
 
-def pad_for_pallas(points, point_norms=None):
-    """NaN-pad points (+norms) to the kernel tile multiple, ONCE at index
+def pad_for_pallas(points, point_norms=None, *, tn: int | None = None):
+    """Sanitize + pad points (+norms) for the fused kernel, ONCE at index
     build — per-query-call padding of a large corpus costs an extra HBM
-    copy of the whole index (measured ~2x on SIFT-1M)."""
+    copy of the whole index (measured ~2x on SIFT-1M).
+
+    NaN policy is enforced here so the kernel runs zero per-tile masking
+    passes: rows containing any NaN are zeroed and their norms pinned to
+    +inf, making their u-domain scores +inf (never selected — the
+    NaN-is-farthest contract); padding rows get the same treatment.
+    """
     n, dim = points.shape
-    tn = pallas_tile_n(dim)
-    npad = (-n) % tn
-    if npad:
-        points = jnp.pad(points, ((0, npad), (0, 0)),
-                         constant_values=jnp.nan)
+    if tn is None:
+        tn = pallas_tile_n(dim)
+    bad = jnp.any(jnp.isnan(points), axis=-1)
+    points = jnp.where(bad[:, None], 0.0, points)
     if point_norms is None:
         point_norms = jnp.sum(points * points, axis=-1)
-    elif npad:
+    point_norms = jnp.where(bad, jnp.inf, point_norms)
+    npad = (-n) % tn
+    if npad:
+        points = jnp.pad(points, ((0, npad), (0, 0)))
         point_norms = jnp.pad(point_norms, (0, npad),
-                              constant_values=jnp.nan)
+                              constant_values=jnp.inf)
     return points, point_norms
 
 
-@partial(jax.jit, static_argnames=("k_eff", "n_real", "fast"))
+# Pointwise |approx_rd − true_rd| <= 4·eps·(‖q‖² + max‖x‖²) for the
+# reduced-precision score matmuls (cross-term rounding; the 4x is safety
+# margin over the analytic bound):
+#  * "bf16": one bf16 pass, eps = 2^-8 mantissa rounding;
+#  * "high": bf16x3 — the dropped lo·lo cross terms sum to
+#    <= 2^-16·‖q‖‖x‖ (Cauchy-Schwarz) plus f32 accumulation rounding.
+PROOF_EPS = {"bf16": 2.0 ** -8, "high": 2.0 ** -15}
+
+
+@partial(jax.jit, static_argnames=("k_eff", "n_real", "fast", "precision",
+                                   "tq", "tn", "interpret"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
-                         n_real: int, center=None, fast: bool = False):
+                         n_real: int, center=None, fast: bool = False,
+                         precision: str | None = None,
+                         tq: int | None = None, tn: int | None = None,
+                         pts_split=None, interpret: bool = False):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -180,39 +220,51 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     (one jitted program = one dispatch — each eager op costs a tunnel
     round-trip on remote devices).
 
-    ``fast=True`` runs the candidate pass with one bf16 MXU pass
-    (~several x the f32 rate), then PROVES the result exact per batch: a
-    point outside the candidate set has bf16 distance >= the
-    (k+slack)-th kept value ``thr``, hence true distance >= thr - err
-    where err = 4*eps_bf16*(|q|^2 + max|x|^2) bounds the bf16 rounding of
-    the cross term. If the re-scored k-th best <= thr - err for every
-    query, no outside point can belong to the true top-k; otherwise the
-    whole batch recomputes with full-f32 passes (lax.cond, no host sync).
-    Default False: on dense distance distributions (uniform SIFT-scale
-    data) the bound window holds hundreds of candidates, verification
-    always fails, and both kernels run (measured 2.3x slower than
-    f32-only); enable for well-separated/clustered corpora.
+    ``precision`` selects the candidate-pass matmul ("highest", "high",
+    "bf16"; default "high", or "bf16" when legacy ``fast=True``).
+    Reduced-precision passes are PROVEN exact per batch: a point outside
+    the candidate set has approx distance >= the (k+slack)-th kept value
+    ``thr``, hence true distance >= thr - err with err the pointwise
+    rounding bound (PROOF_EPS).  If the re-scored k-th best <= thr - err
+    for every query, no outside point can belong to the true top-k;
+    otherwise the whole batch recomputes at "highest" (lax.cond, no host
+    sync).  The "high" (bf16x3) pass runs the MXU at ~1.6x the
+    f32-effective rate and its 2^-15-scale error bound holds with
+    ~1000x margin on SIFT-scale distance gaps, so the fallback
+    essentially never fires — unlike "bf16", whose 2^-8 bound fails on
+    dense distance distributions (measured: both kernels run, 2.3x
+    slower than f32-only).
 
-    Exact either way: candidates are re-scored with the direct form and
-    re-ranked (the same accuracy scheme as the XLA path).
+    Exact in every mode: candidates are re-scored with the direct form
+    and re-ranked (the same accuracy scheme as the XLA path).
     """
-    from .pallas.knn_kernel import knn_pallas
+    from .pallas.knn_kernel import knn_pallas, prepare_split
 
+    if precision is None:
+        precision = "bf16" if fast else "high"
+    if precision == "high" and pts_split is None:
+        pts_split = prepare_split(pts_padded)
     if center is not None:
         queries = queries - center
     dim = pts_padded.shape[1]
     q = queries.shape[0]
-    tq = 256
-    tn = pallas_tile_n(dim)
+    if tq is None:
+        # 256 measured best across precisions on the 1M x 128 headline;
+        # small batches shouldn't pad to a full query tile (the matmul
+        # cost scales with tq); 8 is the f32 sublane granule
+        tq = 256 if q >= 256 else -(-q // 8) * 8
+    if tn is None:
+        tn = pallas_tile_n(dim)      # must match the pad_for_pallas tn
     k_scan = min(k_eff + RESCORE_SLACK, n_real)
 
     qpad = (-q) % tq
     qs = jnp.pad(queries, ((0, qpad), (0, 0)),
                  constant_values=jnp.nan) if qpad else queries
 
-    def run(use_fast: bool):
+    def run(prec: str):
         rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq,
-                             tn=tn, fast=use_fast)
+                             tn=tn, precision=prec,
+                             points_split=pts_split, interpret=interpret)
         rd, idx = rd[:q], idx[:q]
         # drop any padded-row ids (possible only when fewer than k_scan
         # finite candidates exist, e.g. NaN points with k ~ n)
@@ -220,24 +272,23 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         best_rd, best_i = rescore_exact(pts_padded, queries, idx_ok, k_eff)
         return rd, best_rd, best_i
 
-    if not fast:
-        _, best_rd, best_i = run(False)
+    if precision == "highest":
+        _, best_rd, best_i = run("highest")
         return jnp.sqrt(best_rd), best_i
 
-    rd_b, best_rd, best_i = run(True)
-    # ---- exactness proof for the bf16 candidate pass ----
-    eps_b = 2.0 ** -8                      # bf16 mantissa rounding
+    rd_a, best_rd, best_i = run(precision)
+    # ---- exactness proof for the reduced-precision candidate pass ----
     qn = jnp.sum(queries * queries, axis=-1)
-    xn_max = jnp.max(jnp.where(jnp.isnan(xn_padded), 0.0, xn_padded))
-    err = 4.0 * eps_b * (qn + xn_max)                       # (Q,)
-    thr = rd_b[:, -1]                      # (k+slack)-th bf16 distance
+    xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded, 0.0))
+    err = 4.0 * PROOF_EPS[precision] * (qn + xn_max)        # (Q,)
+    thr = rd_a[:, -1]                  # (k+slack)-th approx distance
     covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
     # NaN queries (padding) have inf everywhere: treat as covered
     covered = covered | ~jnp.isfinite(best_rd[:, -1])
     ok = jnp.all(covered)
 
     def precise(_):
-        _, brd, bi = run(False)
+        _, brd, bi = run("highest")
         return brd, bi
 
     best_rd, best_i = jax.lax.cond(

@@ -3,26 +3,42 @@
 Why: the XLA path materializes every (Q, chunk) score tile in HBM and runs
 a TopK custom-call over it — measured ~2/3 of query time is TopK + score
 traffic.  Here the score tile lives only in VMEM and the running top-k is
-updated in-register, so the kernel stays MXU/HBM-streaming-bound like a
-plain matmul over the points.
+updated in-register, so the kernel stays MXU-bound like a plain matmul
+over the points.
 
 Scheme (grid (qi, nj), nj fastest: the points stream while a query tile
 stays resident; TPU grids execute sequentially so VMEM scratch carries the
 running state across nj):
 
-  1. ``s = q_tile @ p_chunk.T`` on the MXU; reduced distance via the
-     index-resident norms.
-  2. One VPU pass compares the tile against the running k-th-best
-     threshold (``tau``): after the first few chunks almost every tile has
-     no survivor and the merge is skipped entirely.
-  3. On a hit: extract the tile's k smallest by k (min, argmin, mask)
-     passes, then fold each into the *unsorted* running working set by
-     replacing the current maximum.  The working set is sorted once, at
-     the last chunk.
+  1. ``s = q_tile @ p_chunk.T`` on the MXU, then one VPU pass forms the
+     **u-domain** score ``u = ‖x‖² − 2·q·x`` — the squared distance minus
+     the per-query norm ``‖q‖²``.  ``‖q‖²`` is constant along a row, so
+     every comparison/min/merge is order-identical in u; it is added back
+     once at the output boundary.  This saves a broadcast-add pass per
+     tile versus materializing true squared distances (measured: the
+     kernel is VPU-pass-bound, not MXU-bound).
+  2. One row-min pass gives each query's best candidate in the tile; the
+     while-loop condition compares those (tq,) minima against the running
+     k-th-best — after the first few chunks almost every tile has no
+     survivor and the merge is skipped after a single pass.
+  3. On a hit: extract the tile's survivors one at a time (argmin, mask,
+     re-min), folding each into the *unsorted* working set by replacing
+     the current maximum.  The working set is sorted once, at the last
+     chunk.
 
-Exact: the working set always holds the true k smallest seen so far; NaN
-distances map to +inf (OrderedFloat NaN-is-farthest policy,
-CHANGELOG.md:111-115).
+NaN policy is enforced at padding time, not in-kernel: ``pad_for_pallas``
+zeroes NaN-containing rows and pins their index-resident norms to +inf,
+so their u-scores are +inf (never selected — NaN-is-farthest,
+CHANGELOG.md:111-115) and no isnan/validity masking runs per tile.
+NaN-padded *query* rows produce NaN scores, which fail every comparison
+and simply keep their init (+inf, -1) state.
+
+Exact: the working set always holds the true k smallest seen so far for
+the precision the scores were computed at; callers re-score candidates
+with the direct form (ops.bruteforce) and, for reduced-precision passes
+("high" = bf16x3, "bf16" = one pass), prove per batch that no outside
+point can enter the true top-k, falling back to the full-precision kernel
+otherwise (see ``ops.bruteforce.knn_pallas_prepadded``).
 """
 
 from __future__ import annotations
@@ -34,7 +50,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn_pallas", "pallas_available"]
+__all__ = ["knn_pallas", "pallas_available", "prepare_split", "PRECISIONS"]
+
+# "highest": 6-pass f32-effective; "high": 3-pass bf16x3 at ~1.6x the
+# rate (hand-rolled — Mosaic rejects lax.Precision.HIGH — from bf16 hi/lo
+# splits of both operands, dropping only the lo*lo term: pointwise error
+# <= ~2^-15*|q||x|, see ops.bruteforce.PROOF_EPS); "bf16": 1 pass.
+PRECISIONS = ("highest", "high", "bf16")
+
+
+def split_bf16(x):
+    """(hi, lo) bf16 split with hi + lo == x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def pallas_available() -> bool:
@@ -44,11 +73,36 @@ def pallas_available() -> bool:
         return False
 
 
-def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
-                best_d, best_i, *, k: int, tn: int, n_real: int,
-                n_chunks: int, fast: bool = False):
-    """Small-k variant: each while-iteration re-scans the full tile for
-    its minimum (4 full-tile VPU passes per extracted candidate)."""
+def _fold_min(state_min, r, col, bd, bi, base, kcol):
+    """Fold each query's current tile minimum into the working set, then
+    re-scan the masked tile.  One iteration = 3 full-tile passes (argmin,
+    mask, re-min) — the row-min itself is carried in the loop state so
+    the loop *condition* costs only (tq,) work.  Masking a minimum that
+    was NOT folded (its query already holds k better) is safe: the
+    working-set max only shrinks, so that candidate could never enter
+    later either."""
+    am = jnp.argmin(r, axis=1).astype(jnp.int32)
+    r = jnp.where(col == am[:, None], jnp.inf, r)
+    cur_max = jnp.max(bd, axis=1)
+    amax = jnp.argmax(bd, axis=1).astype(jnp.int32)
+    take = state_min < cur_max
+    sel = (kcol == amax[:, None]) & take[:, None]
+    bd = jnp.where(sel, state_min[:, None], bd)
+    bi = jnp.where(sel, (base + am)[:, None], bi)
+    return jnp.min(r, axis=1), r, bd, bi
+
+
+def _knn_kernel(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
+                best_d, best_i, *, k: int, tn: int, n_chunks: int,
+                subtile: int, precision: str):
+    """u-domain streaming top-k.  ``subtile`` splits the (tq, tn) tile
+    into column blocks with independent extraction loops: per extracted
+    candidate the argmin/mask/re-min passes touch only (tq, subtile)
+    lanes.  ``subtile == tn`` is the single-loop variant.
+
+    For "high", ``p_ref`` holds the points' (hi, lo) bf16 splits stacked
+    along the feature axis as ``[hi | lo] (tn, 2d)`` and the score matmul
+    runs three bf16 passes (hi·hi + hi·lo + lo·hi, f32 accumulation)."""
     nj = pl.program_id(1)
     tq = best_d.shape[0]
     kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
@@ -58,53 +112,50 @@ def _knn_kernel(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
         best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
         best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
 
-    # fast=True: one bf16 MXU pass (callers pair it with an error-bound
-    # verification + precise fallback); fast=False: full-f32 passes
-    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    s = jnp.dot(q_ref[:], p_ref[:].T, preferred_element_type=jnp.float32,
-                precision=prec)
-    rd = qn_ref[:].T + xn_ref[:] - 2.0 * s
-    rd = jnp.maximum(rd, 0.0)
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    u = xn_ref[:] - 2.0 * s                    # (tq, tn); xn broadcasts
 
-    col = jax.lax.broadcasted_iota(jnp.int32, rd.shape, 1)
-    gid = nj * tn + col
-    valid = (gid < n_real) & ~jnp.isnan(rd)
-    rd = jnp.where(valid, rd, jnp.inf)
+    bd = best_d[:]
+    bi = best_i[:]
+    n_sub = tn // subtile
+    csub = jax.lax.broadcasted_iota(jnp.int32, (tq, subtile), 1)
+    for g in range(n_sub):
+        sub = u[:, g * subtile:(g + 1) * subtile] if n_sub > 1 else u
+        base = nj * tn + g * subtile
 
-    # Data-dependent merge: extract tile minima only while some query
-    # still improves.  A candidate >= the current k-th best can never
-    # enter the result later (tau only shrinks), so masking each
-    # extracted column is safe; the loop therefore runs exactly
-    # (#improving candidates) iterations — a handful on early chunks,
-    # zero on almost all later ones.
-    def _cond(state):
-        r, bd, _ = state
-        tau = jnp.max(bd, axis=1)
-        return jnp.any(r < tau[:, None])
+        def _cond(state):
+            m, _, bd, _ = state
+            tau = jnp.max(bd, axis=1)          # (tq,) — no tile pass
+            return jnp.any(m < tau)
 
-    def _body(state):
-        r, bd, bi = state
-        m = jnp.min(r, axis=1)
-        am = jnp.argmin(r, axis=1).astype(jnp.int32)
-        r = jnp.where(col == am[:, None], jnp.inf, r)
-        # fold into the working set by replacing the per-query max
-        cur_max = jnp.max(bd, axis=1)
-        amax = jnp.argmax(bd, axis=1).astype(jnp.int32)
-        take = m < cur_max
-        sel = (kcol == amax[:, None]) & take[:, None]
-        bd = jnp.where(sel, m[:, None], bd)
-        bi = jnp.where(sel, (nj * tn + am)[:, None], bi)
-        return r, bd, bi
+        def _body(state, _base=base):
+            m, r, bd, bi = state
+            return _fold_min(m, r, csub, bd, bi, _base, kcol)
 
-    _, bd, bi = jax.lax.while_loop(_cond, _body,
-                                   (rd, best_d[:], best_i[:]))
+        m0 = jnp.min(sub, axis=1)
+        _, _, bd, bi = jax.lax.while_loop(_cond, _body, (m0, sub, bd, bi))
+
     best_d[:] = bd
     best_i[:] = bi
 
     @pl.when(nj == n_chunks - 1)
     def _():
         od, oi = _sort_working_set(best_d[:], best_i[:], k)
-        out_d_ref[:] = od
+        # u -> squared distance at the boundary; clamp the rounding
+        # residue of near-duplicates to keep rdist >= 0
+        out_d_ref[:] = jnp.maximum(od + qn_ref[:].T, 0.0)
         out_i_ref[:] = oi
 
 
@@ -125,89 +176,49 @@ def _sort_working_set(bd, bi, k: int):
     return od, oi
 
 
-SUBTILE = 128
+def default_subtile(k: int, tn: int) -> int:
+    """Extraction sub-tile width: whole-tile loops win for small working
+    sets (few extractions, measured tq=512/tn=2048: 36.6k vs 27.9k QPS at
+    k=18 for subtile=128); at large k the ~k·ln(chunks) extractions make
+    narrow sub-tiles pay."""
+    if k <= 32:
+        return tn
+    if k <= 96:
+        return max(512, tn // 4)
+    return max(128, tn // 16)
 
 
-def _knn_kernel_grouped(qn_ref, xn_ref, q_ref, p_ref, out_d_ref, out_i_ref,
-                        best_d, best_i, *, k: int, tn: int, n_real: int,
-                        n_chunks: int, fast: bool = False):
-    """Large-k variant: sub-tiled extraction.
+def prepare_split(points):
+    """Stack the (hi, lo) bf16 split along features -> (n, 2d) bf16.
 
-    The (TQ, TN) distance tile is processed as TN/128 column sub-tiles,
-    each with its own threshold check + extraction while-loop over only
-    (TQ, 128) lanes.  Per extracted candidate the cost drops from a
-    full-tile pass to a 128-lane pass (TN/128 x cheaper), which keeps
-    per-query extraction counts of ~k*ln(chunks) affordable at k ~ 100.
-    (Mosaic lowers no dynamic row-gather, so the group-cache scheme is
-    expressed as static sub-tile slices instead.)
-    """
-    nj = pl.program_id(1)
-    tq = best_d.shape[0]
-    G = tn // SUBTILE
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
-    csub = jax.lax.broadcasted_iota(jnp.int32, (tq, SUBTILE), 1)
-
-    @pl.when(nj == 0)
-    def _():
-        best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
-        best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
-
-    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    s = jnp.dot(q_ref[:], p_ref[:].T, preferred_element_type=jnp.float32,
-                precision=prec)
-    rd = qn_ref[:].T + xn_ref[:] - 2.0 * s
-    rd = jnp.maximum(rd, 0.0)
-    col = jax.lax.broadcasted_iota(jnp.int32, rd.shape, 1)
-    gid = nj * tn + col
-    valid = (gid < n_real) & ~jnp.isnan(rd)
-    rd = jnp.where(valid, rd, jnp.inf)
-
-    bd = best_d[:]
-    bi = best_i[:]
-    for g in range(G):
-        sub = rd[:, g * SUBTILE:(g + 1) * SUBTILE]       # static slice
-        base = nj * tn + g * SUBTILE
-
-        def _cond(state, _sub=sub):
-            r, bd, _ = state
-            tau = jnp.max(bd, axis=1)
-            return jnp.any(r < tau[:, None])
-
-        def _body(state, _base=base):
-            r, bd, bi = state
-            m = jnp.min(r, axis=1)
-            am = jnp.argmin(r, axis=1).astype(jnp.int32)
-            r = jnp.where(csub == am[:, None], jnp.inf, r)
-            cur_max = jnp.max(bd, axis=1)
-            amax = jnp.argmax(bd, axis=1).astype(jnp.int32)
-            take = m < cur_max
-            sel = (kcol == amax[:, None]) & take[:, None]
-            bd = jnp.where(sel, m[:, None], bd)
-            bi = jnp.where(sel, (_base + am)[:, None], bi)
-            return r, bd, bi
-
-        _, bd, bi = jax.lax.while_loop(_cond, _body, (sub, bd, bi))
-
-    best_d[:] = bd
-    best_i[:] = bi
-
-    @pl.when(nj == n_chunks - 1)
-    def _():
-        od, oi = _sort_working_set(best_d[:], best_i[:], k)
-        out_d_ref[:] = od
-        out_i_ref[:] = oi
+    Done ONCE at index build (an HBM rewrite of the corpus per query
+    call would dominate); streamed instead of the f32 points by the
+    "high"-precision kernel — same bytes/row as f32."""
+    hi, lo = split_bf16(points)
+    return jnp.concatenate([hi, lo], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
-                                             "grouped", "fast"))
+                                             "subtile", "precision"))
 def knn_pallas(points, queries, point_norms, *, k: int,
-               tq: int = 256, tn: int = 2048, interpret: bool = False,
-               grouped: bool | None = None, fast: bool = False):
-    """Exact k-NN via the fused Pallas kernel (squared-Euclidean).
+               tq: int = 256, tn: int = 4096, interpret: bool = False,
+               subtile: int | None = None, precision: str = "highest",
+               points_split=None):
+    """Exact-within-precision k-NN via the fused Pallas kernel
+    (squared-Euclidean).
 
-    Caller contract: N % tn == 0, Q % tq == 0 (pad with NaN rows — they
-    can never be selected), f32 inputs, k <= 256 (callers cap the scan
-    width at ``k + RESCORE_SLACK <= 256``, see ``_pallas_eligible``).
+    Caller contract: N % tn == 0, Q % tq == 0; ``points``/``point_norms``
+    sanitized + padded by ``ops.bruteforce.pad_for_pallas`` (NaN rows
+    zeroed with +inf norms — they can never be selected); query padding
+    rows are NaN; f32 inputs; 1 <= k <= 256 (callers cap the scan width
+    at ``k + RESCORE_SLACK <= 256``, see ``_pallas_eligible``).
+
+    ``precision`` selects the MXU passes for the score matmul: "highest"
+    (6-pass f32-effective), "high" (3-pass bf16x3 from ``points_split``
+    hi/lo planes — computed here if not passed, but index-resident
+    callers should ``prepare_split`` once), "bf16" (one pass).  Reduced
+    precisions need the caller-side exactness proof + rescore
+    (``knn_pallas_prepadded``).
 
     Returns (rdist (Q, k) ascending, indices (Q, k)); indices of padded
     rows never appear; rdist domain (convert at the boundary).
@@ -216,29 +227,40 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
     assert 1 <= k <= 256, k
+    assert precision in PRECISIONS, precision
     n_chunks = n // tn
+    if subtile is None:
+        subtile = default_subtile(k, tn)
+    assert tn % subtile == 0, (tn, subtile)
     qn = jnp.sum(queries * queries, axis=-1)[None, :]     # (1, Q)
     xn = point_norms[None, :]                              # (1, N)
 
-    if grouped is None:
-        grouped = k > 16
-    body = _knn_kernel_grouped if grouped else _knn_kernel
-    kernel = functools.partial(body, k=k, tn=tn, n_real=n,
-                               n_chunks=n_chunks, fast=fast)
+    if precision == "high":
+        if points_split is None:
+            points_split = prepare_split(points)
+        p_in = points_split
+        p_spec = pl.BlockSpec((tn, 2 * d), lambda qi, nj: (nj, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_in = points
+        p_spec = pl.BlockSpec((tn, d), lambda qi, nj: (nj, 0),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_knn_kernel, k=k, tn=tn, n_chunks=n_chunks,
+                               subtile=subtile, precision=precision)
 
     grid = (q // tq, n_chunks)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq), lambda qi, nj: (0, qi),
-                         memory_space=pltpu.VMEM),          # qn
             pl.BlockSpec((1, tn), lambda qi, nj: (0, nj),
                          memory_space=pltpu.VMEM),          # xn
             pl.BlockSpec((tq, d), lambda qi, nj: (qi, 0),
                          memory_space=pltpu.VMEM),          # queries
-            pl.BlockSpec((tn, d), lambda qi, nj: (nj, 0),
-                         memory_space=pltpu.VMEM),          # points
+            p_spec,                                         # points
+            pl.BlockSpec((1, tq), lambda qi, nj: (0, qi),
+                         memory_space=pltpu.VMEM),          # qn
         ],
         out_specs=[
             pl.BlockSpec((tq, k), lambda qi, nj: (qi, 0),
@@ -255,9 +277,10 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             pltpu.VMEM((tq, k), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # default scoped-vmem cap is 16 MiB; the working set at
-            # tn=2048 with k ~ 40 needs ~18 MiB (v5e has far more VMEM)
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # default scoped-vmem cap is 16 MiB; the u tile at
+            # tq=512/tn=2048 plus double-buffered inputs wants more
+            # (v5e has far more VMEM)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,
@@ -265,5 +288,5 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qn, xn, queries, points)
+    )(xn, queries, p_in, qn)
     return out_d, out_i

@@ -32,24 +32,30 @@ class BruteForce:
         # (translation invariance); low-dim paths use the direct form.
         self._center = None
         self._qpoints = self.points                # what queries run against
-        if isinstance(self.metric, Euclidean):
-            from ..distance import DIRECT_DIM_MAX
-            if self.points.shape[1] > DIRECT_DIM_MAX:
-                self._center = bf.center_of(self.points)
-                self._qpoints = self.points - self._center
-            self.point_norms = jnp.sum(self._qpoints * self._qpoints,
-                                       axis=-1)
-        else:
-            self.point_norms = None
+        self.point_norms = None
         #: backend that served the most recent ``query_batch`` call
         #: ("pallas" | "xla" | None before the first query)
         self.last_backend = None
         # Pre-padded copies for the fused Pallas kernel (padding a large
         # corpus per query call costs an extra full-index HBM copy)
-        self._pallas_pts = self._pallas_norms = None
-        if bf._pallas_eligible(self.points, self.points[:1], 1, self.metric):
-            self._pallas_pts, self._pallas_norms = bf.pad_for_pallas(
-                self._qpoints, self.point_norms)
+        self._pallas_pts = self._pallas_norms = self._pallas_split = None
+        pallas_ok = bf._pallas_eligible(self.points, self.points[:1], 1,
+                                        self.metric)
+        if isinstance(self.metric, Euclidean):
+            from ..distance import DIRECT_DIM_MAX
+            high_dim = self.points.shape[1] > DIRECT_DIM_MAX
+            if high_dim and pallas_ok:
+                # one fused device program for all index artifacts
+                (self._center, self._qpoints, self.point_norms,
+                 self._pallas_pts, self._pallas_norms,
+                 self._pallas_split) = bf.prepare_euclidean_index(
+                    self.points, bf.pallas_tile_n(self.points.shape[1]))
+            else:
+                if high_dim:
+                    self._center = bf.center_of(self.points)
+                    self._qpoints = self.points - self._center
+                self.point_norms = jnp.sum(self._qpoints * self._qpoints,
+                                           axis=-1)
 
     @classmethod
     def euclidean(cls, points) -> "BruteForce":
@@ -109,7 +115,8 @@ class BruteForce:
             try:
                 d, i = bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
-                    k_eff, self.num_points, self._center)
+                    k_eff, self.num_points, self._center,
+                    pts_split=self._pallas_split)
                 self.last_backend = "pallas"
                 return d, i
             except Exception as exc:

@@ -6,6 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from petal_neighbors_tpu.ops.bruteforce import pad_for_pallas
 from petal_neighbors_tpu.ops.pallas.knn_kernel import knn_pallas
 
 
@@ -15,15 +16,19 @@ def oracle(points, queries, k):
     return np.take_along_axis(d, idx, axis=1), idx
 
 
+def run_kernel(pts, qs, k, *, tq=128, tn=512, **kw):
+    pp, pn = pad_for_pallas(jnp.asarray(pts), tn=tn)
+    rd, i = knn_pallas(pp, jnp.asarray(qs), pn, k=k, tq=tq, tn=tn,
+                       interpret=True, **kw)
+    return np.asarray(rd), np.asarray(i)
+
+
 @pytest.mark.parametrize("n,q,k", [(512, 128, 10), (1024, 128, 4)])
 def test_kernel_matches_oracle(rng, n, q, k):
     d = 64
     pts = rng.random((n, d)).astype(np.float32) * 100
     qs = rng.random((q, d)).astype(np.float32) * 100
-    xn = jnp.sum(jnp.asarray(pts) ** 2, axis=-1)
-    rd, i = knn_pallas(jnp.asarray(pts), jnp.asarray(qs), xn, k=k,
-                       tq=128, tn=512, interpret=True)
-    rd, i = np.asarray(rd), np.asarray(i)
+    rd, i = run_kernel(pts, qs, k)
     od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
     for r in range(q):
         assert set(i[r].tolist()) == set(oi[r].tolist()), r
@@ -35,22 +40,31 @@ def test_kernel_nan_rows_never_selected(rng):
     n, q, d, k = 512, 128, 64, 5
     pts = rng.random((n, d)).astype(np.float32)
     pts[7] = np.nan          # a NaN point: farthest, never in top-5 of 512
+    pts[9, 3] = np.nan       # partial-NaN row: same policy
     qs = rng.random((q, d)).astype(np.float32)
-    xn = jnp.sum(jnp.asarray(pts) ** 2, axis=-1)
-    _, i = knn_pallas(jnp.asarray(pts), jnp.asarray(qs), xn, k=k,
-                      tq=128, tn=512, interpret=True)
-    assert not (np.asarray(i) == 7).any()
+    _, i = run_kernel(pts, qs, k)
+    assert not np.isin(i, [7, 9]).any()
+
+
+def test_kernel_unpadded_tail(rng):
+    """n not a tile multiple: pad_for_pallas pads with +inf norms, which
+    must never be selected nor break extraction."""
+    n, q, d, k = 700, 128, 64, 10
+    pts = rng.random((n, d)).astype(np.float32)
+    qs = rng.random((q, d)).astype(np.float32)
+    rd, i = run_kernel(pts, qs, k)
+    assert (i < n).all() and (i >= 0).all()
+    od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
+    for r in range(q):
+        assert set(i[r].tolist()) == set(oi[r].tolist()), r
 
 
 @pytest.mark.parametrize("k", [4, 40, 100])
-def test_grouped_kernel_matches_oracle(rng, k):
+def test_subtiled_kernel_matches_oracle(rng, k):
     n, q, d = 1024, 128, 64
     pts = rng.random((n, d)).astype(np.float32) * 100
     qs = rng.random((q, d)).astype(np.float32) * 100
-    xn = jnp.sum(jnp.asarray(pts) ** 2, axis=-1)
-    rd, i = knn_pallas(jnp.asarray(pts), jnp.asarray(qs), xn, k=k,
-                       tq=128, tn=512, interpret=True, grouped=True)
-    rd, i = np.asarray(rd), np.asarray(i)
+    rd, i = run_kernel(pts, qs, k, subtile=128)
     od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
     for r in range(q):
         assert set(i[r].tolist()) == set(oi[r].tolist()), r
@@ -58,16 +72,61 @@ def test_grouped_kernel_matches_oracle(rng, k):
     np.testing.assert_allclose(rd, od, rtol=2e-4)
 
 
-def test_grouped_kernel_with_ties(rng):
-    # duplicated rows force equal distances inside one group: the
-    # lexicographic (value, column) cache must extract each exactly once
+def test_subtiled_kernel_with_ties(rng):
+    # duplicated rows force equal distances inside one sub-tile: each
+    # must be extracted exactly once (mask-then-re-min, no duplicates)
     n, q, d, k = 512, 128, 64, 20
     pts = rng.random((n, d)).astype(np.float32)
     pts[100:140] = pts[100]          # 40 identical points
     qs = pts[:q] + 0.01
-    xn = jnp.sum(jnp.asarray(pts) ** 2, axis=-1)
-    rd, i = knn_pallas(jnp.asarray(pts), jnp.asarray(qs), xn, k=k,
-                       tq=128, tn=512, interpret=True, grouped=True)
-    i = np.asarray(i)
+    _, i = run_kernel(pts, qs, k, subtile=128)
     for r in range(q):
         assert len(set(i[r].tolist())) == k  # no duplicates, no -1 gaps
+
+
+def test_nan_query_rows_stay_empty(rng):
+    n, q, d, k = 512, 128, 64, 5
+    pts = rng.random((n, d)).astype(np.float32)
+    qs = rng.random((q, d)).astype(np.float32)
+    qs[3] = np.nan
+    rd, i = run_kernel(pts, qs, k)
+    # raw kernel: never selects anything for a NaN query (distances stay
+    # non-finite); the public path's rescore masks these to (+inf, -1)
+    assert (i[3] == -1).all() and not np.isfinite(rd[3]).any()
+    assert (i[4] >= 0).all()         # neighbors unaffected
+
+
+@pytest.mark.parametrize("precision", ["high", "bf16"])
+def test_reduced_precision_candidates(rng, precision):
+    """Reduced-precision score passes must still produce a candidate set
+    whose rescored top-k is exact on well-conditioned data (the public
+    path additionally proves coverage per batch)."""
+    n, q, d, k = 1024, 128, 64, 10
+    pts = rng.random((n, d)).astype(np.float32)
+    qs = rng.random((q, d)).astype(np.float32)
+    rd, i = run_kernel(pts, qs, k + 8, precision=precision)
+    od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
+    # every true top-k id appears in the top-(k+8) candidates
+    hit = np.array([np.isin(oi[r], i[r]).all() for r in range(q)])
+    assert hit.all()
+
+
+@pytest.mark.parametrize("precision", ["highest", "high", "bf16"])
+def test_prepadded_proof_path_exact(rng, precision):
+    """knn_pallas_prepadded end-to-end (interpret mode): the candidate
+    pass at any precision + coverage proof + rescore must be exact."""
+    from petal_neighbors_tpu.ops.bruteforce import (
+        center_of, knn_pallas_prepadded, pad_for_pallas)
+    n, q, d, k = 1024, 100, 64, 10
+    pts = (rng.random((n, d)) * 10 + 50).astype(np.float32)
+    qs = (rng.random((q, d)) * 10 + 50).astype(np.float32)
+    mu = center_of(jnp.asarray(pts))
+    pp, pn = pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+    dd, ii = knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                  center=mu, precision=precision,
+                                  tn=512, interpret=True)
+    od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
+    ii = np.asarray(ii)
+    for r in range(q):
+        assert set(ii[r].tolist()) == set(oi[r].tolist()), r
+    np.testing.assert_allclose(np.asarray(dd) ** 2, od, rtol=2e-4)
