@@ -136,7 +136,7 @@ def bench_config5():
     from petal_neighbors_tpu import BruteForce, Cosine, Minkowski
 
     rng = np.random.default_rng(5)
-    n = 200_000  # 960-d x 1M = 3.8 GB; 200k keeps the bench quick
+    n = 1_000_000  # true GIST-1M shape: 960-d f32 = 3.8 GB (fits v5e HBM)
     pts = rng.random((n, 960), dtype=np.float32)
     qs = rng.random((1_000, 960), dtype=np.float32)
     for name, metric in (("euclidean", None), ("cosine", Cosine()),

@@ -247,6 +247,13 @@ class Minkowski(Metric):
 
     ``rdistance`` is the p-th-power sum (monotone surrogate, analogous to
     the Euclidean squared distance).
+
+    Integral ``p`` takes a multiply-chain fast path
+    (``lax.integer_pow``): the generic ``x ** p`` lowers to the
+    transcendental ``exp(p·log x)`` on the VPU, which dominated the
+    high-dim batch path (measured ~7x slower than Euclidean at 960-d);
+    ``|d|^3 = |d|·d·d`` is three cheap multiplies, and even powers skip
+    the ``abs`` entirely.
     """
 
     name = "minkowski"
@@ -256,13 +263,20 @@ class Minkowski(Metric):
         if not p >= 1.0:
             raise ValueError("Minkowski requires p >= 1")
         self.p = float(p)
+        self._p_int = int(p) if float(p).is_integer() and p <= 64 else None
+
+    def _pow_sum(self, diff, axis=None):
+        """sum(|diff| ** p) with the integer-p multiply-chain fast path."""
+        if self._p_int is not None:
+            base = diff if self._p_int % 2 == 0 else jnp.abs(diff)
+            return jnp.sum(jax.lax.integer_pow(base, self._p_int), axis=axis)
+        return jnp.sum(jnp.abs(diff) ** self.p, axis=axis)
 
     def distance(self, x1, x2):
         return self.rdistance(x1, x2) ** (1.0 / self.p)
 
     def rdistance(self, x1, x2):
-        d = jnp.abs(jnp.asarray(x1) - jnp.asarray(x2))
-        return jnp.sum(d ** self.p)
+        return self._pow_sum(jnp.asarray(x1) - jnp.asarray(x2))
 
     def rdistance_to_distance(self, rd):
         return rd ** (1.0 / self.p)
@@ -273,12 +287,10 @@ class Minkowski(Metric):
     def rdist(self, q, x):
         q = jnp.asarray(q)
         x = jnp.asarray(x)
-        d = jnp.abs(q[:, None, :] - x[None, :, :])
-        return jnp.sum(d ** self.p, axis=-1)
+        return self._pow_sum(q[:, None, :] - x[None, :, :], axis=-1)
 
     def rowwise_rdist(self, x, y):
-        d = jnp.abs(jnp.asarray(x) - jnp.asarray(y))
-        return jnp.sum(d ** self.p, axis=-1)
+        return self._pow_sum(jnp.asarray(x) - jnp.asarray(y), axis=-1)
 
     def __repr__(self):
         return f"Minkowski(p={self.p})"

@@ -8,16 +8,22 @@ median distance (``far[0]``, :180-182), and singleton leaves carry radius
 the tree is always balanced — depth <= ceil(log2 n) + 1 — which bounds the
 lockstep query stack statically.
 
-Query is a **batched DFS stack machine** (JAX ``while_loop``): every query
-pops one node per step in lockstep; the reference's deferred pruning
-("search near, then far only if d + best > radius", :111-129) is encoded
-as a *prune key* pushed with each deferred child and re-checked against
-the current best at pop time — later information, exactly like the
-recursive original, so the visit set matches.
+k-NN query is a **best-first chunked subtree scan** (the ball tree's
+architecture, `ball_query.knn_query`): the tree is flattened once into a
+dense trunk plus bounded cut subtrees (``_flatten_for_query``); the
+reference's tau-pruning geometry ("search near, then far only if
+d + best > radius", :111-129) becomes one vectorized lower-bound matrix,
+and subtrees are scanned in ascending-bound order until the next bound
+exceeds the running k-th distance.  A sequential lockstep DFS stack
+machine was built first and measured: per-step scatter/gather cost on
+(Q,) tensors dominated (~270 us/step x ~180 steps at config2), an order
+of magnitude slower than the fat-tensor best-first scan.
+
+Radius query keeps a lockstep DFS (``_vp_radius``) — its fixed threshold
+needs no tau refinement, so one pass is cheap.
 
 The reference VP tree only has ``query_nearest`` (:88-98).  ``query`` (k-NN)
-and ``query_radius`` are extensions (SURVEY.md §2.4 / BASELINE config #2),
-built on the same stack machine / brute-force ops.
+and ``query_radius`` are extensions (SURVEY.md §2.4 / BASELINE config #2).
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import numpy as np
 
 from ..distance import Euclidean, Metric, get_metric
 from ..ops import bruteforce as bf
-from ..ops.topk import nan_to_inf, smallest_k
+from ..ops.topk import merge_topk, nan_to_inf
 from ..utils.validation import check_points, check_query, check_query_batch
 from .ball_build import _np_rowwise_dist
 
@@ -45,6 +51,211 @@ class _VPStatic:
     """Static metadata (hashable identity for jit)."""
     n_nodes: int
     depth: int
+
+
+def _flatten_for_query(vp, radius, near, far, root, *, target: int):
+    """Two-level flattening of the VP tree for the batched query engine
+    (host-side, once per tree).
+
+    Splits the tree into a **trunk** (every node whose subtree holds more
+    than ``target`` points) and **cut subtrees** (the maximal subtrees of
+    <= ``target`` points hanging off the trunk).  Trunk vantage points are
+    evaluated densely; each cut subtree gets a lower bound from its trunk
+    ancestors' tau-pruning constraints (vantage_point_tree.rs:111-129):
+    a near-side descendant x satisfies d(x, v_a) <= rho_a, so
+    d(q, x) >= d(q, v_a) - rho_a; a far-side descendant satisfies
+    d(x, v_a) >= rho_a, so d(q, x) >= rho_a - d(q, v_a) — the same
+    geometry the reference prunes with, evaluated for all subtrees at
+    once instead of along a serial descent.
+
+    Returns (trunk_pts (T,), members (S, M) point ids padded -1,
+    anc_t (S, D) trunk indices, anc_near (S, D) bool, anc_rho (S, D),
+    padded with (0, True, +inf) no-op constraints).
+    """
+    n_nodes = len(vp)
+    size = np.ones(n_nodes, dtype=np.int64)
+    # children have larger preorder ids than parents in every builder
+    # (host, native, device) — but compute sizes order-independently via
+    # an iterative post-order for safety
+    order = []
+    st = [root]
+    while st:
+        node = st.pop()
+        if node == NULL:
+            continue
+        order.append(node)
+        st.append(near[node])
+        st.append(far[node])
+    for node in reversed(order):
+        s = 1
+        if near[node] != NULL:
+            s += size[near[node]]
+        if far[node] != NULL:
+            s += size[far[node]]
+        size[node] = s
+
+    trunk = []            # node ids evaluated densely
+    cut_roots = []        # subtree roots scanned as units
+    cut_constraints = []  # per cut root: [(trunk_order, near_side, rho)]
+    st = [(root, [])]
+    while st:
+        node, cons = st.pop()
+        if node == NULL:
+            continue
+        if size[node] <= target:
+            cut_roots.append(node)
+            cut_constraints.append(cons)
+        else:
+            t = len(trunk)
+            trunk.append(node)
+            rho = radius[node]
+            st.append((far[node], cons + [(t, False, rho)]))
+            st.append((near[node], cons + [(t, True, rho)]))
+
+    trunk_pts = np.asarray([vp[t] for t in trunk], dtype=np.int32)
+    if len(trunk_pts) == 0:      # whole tree fits in one cut subtree
+        trunk_pts = np.array([-1], dtype=np.int32)   # masked dummy
+
+    S = len(cut_roots)
+    members_lists = []
+    for c in cut_roots:
+        mem = []
+        st2 = [c]
+        while st2:
+            nd = st2.pop()
+            if nd == NULL:
+                continue
+            mem.append(vp[nd])
+            st2.append(near[nd])
+            st2.append(far[nd])
+        members_lists.append(mem)
+    M = max((len(m) for m in members_lists), default=1)
+    members = np.full((max(S, 1), M), -1, dtype=np.int32)
+    for i, m in enumerate(members_lists):
+        members[i, :len(m)] = m
+
+    D = max((len(c) for c in cut_constraints), default=1)
+    anc_t = np.zeros((max(S, 1), max(D, 1)), dtype=np.int32)
+    anc_near = np.ones((max(S, 1), max(D, 1)), dtype=bool)
+    anc_rho = np.full((max(S, 1), max(D, 1)), np.inf, dtype=radius.dtype)
+    for i, cons in enumerate(cut_constraints):
+        for j, (t, near_side, rho) in enumerate(cons):
+            anc_t[i, j] = t
+            anc_near[i, j] = near_side
+            anc_rho[i, j] = rho
+    return trunk_pts, members, anc_t, anc_near, anc_rho
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "with_stats"))
+def _vp_knn_flat(points, queries, trunk_pts, members, anc_t, anc_near,
+                 anc_rho, *, k: int, metric: Metric, chunk: int | None = None,
+                 with_stats: bool = False):
+    """Exact batched k-NN over the flattened VP tree.
+
+    Best-first chunked subtree scan, the same architecture as the ball
+    tree's ``knn_query`` (one fat bound computation, then a while-loop
+    over static chunks of the most promising subtrees, stopping when the
+    next lower bound exceeds the running k-th distance).  Exact by the
+    reference's own pruning argument: a subtree is skipped only when its
+    tau lower bound (see ``_flatten_for_query``) exceeds the current
+    k-th best — only the *visit order* differs from the recursive
+    original (vantage_point_tree.rs:100-130), which cannot change the
+    result set.
+
+    All distances use the direct difference form (exact to rounding);
+    lower bounds are additionally deflated by a rounding slack so a
+    borderline bound can never falsely prune.  NaN distances sort as
+    farthest (candidates) and never prune (bounds) — NaN-coordinate
+    vantage points or NaN radii yield NaN bounds, which are forced to 0.
+    """
+    from .ball_query import _bound_slack, _direct_dist_chunked
+
+    n, dim = points.shape
+    q = queries.shape[0]
+    dtype = points.dtype
+    T = trunk_pts.shape[0]
+    S, M = members.shape
+
+    # --- Phase 1: dense trunk distances (candidates AND bound inputs) ---
+    dq = _direct_dist_chunked(queries, points[trunk_pts], metric,
+                              max(1, (1 << 22) // max(q, 1)))      # (Q, T)
+    valid_t = (trunk_pts >= 0)[None, :]
+    cand_d = jnp.where(valid_t, nan_to_inf(dq), jnp.inf)
+    cand_i = jnp.where(valid_t, trunk_pts[None, :], -1)
+    best_d = jnp.full((q, k), jnp.inf, dtype=dtype)
+    best_i = jnp.full((q, k), -1, dtype=jnp.int32)
+    best_d, best_i = merge_topk(cand_d, jnp.broadcast_to(cand_i, cand_d.shape),
+                                best_d, best_i, k)
+
+    # --- Phase 2: per-subtree tau lower bounds ---
+    dq_anc = dq[:, anc_t]                                   # (Q, S, D)
+    contrib = jnp.where(anc_near[None], dq_anc - anc_rho[None],
+                        anc_rho[None] - dq_anc)
+    # deflate each constraint by a rounding slack on its inputs so a
+    # borderline bound can never falsely prune (rho stored exactly, dq
+    # exact to rounding; inf rho marks a padding constraint -> no slack)
+    rho_fin = jnp.where(jnp.isfinite(anc_rho), anc_rho, 0.0)
+    contrib = contrib - _bound_slack(dtype) * (dq_anc + rho_fin[None])
+    lb = jnp.maximum(jnp.max(contrib, axis=-1), 0.0)        # (Q, S)
+    # NaN bounds (NaN vantage coords / NaN radii) never prune
+    lb = jnp.where(jnp.isnan(lb), 0.0, lb)
+    lb = jnp.where(jnp.any(members >= 0, axis=1)[None, :], lb, jnp.inf)
+
+    order = jnp.argsort(lb, axis=1).astype(jnp.int32)       # (Q, S)
+    lb_sorted = jnp.take_along_axis(lb, order, axis=1)
+
+    if chunk is None:
+        # keep a scanned chunk's gathered tile (q, C, M, dim) near 32 MB
+        # f32; small C wins when survivors-per-query is low (measured
+        # C=2..4 equivalent, C=8 ~10% slower on BASELINE config #2)
+        chunk = max(1, min((1 << 23) // max(q * M * dim, 1), 4))
+    C = max(1, min(chunk, S))
+    n_chunks = -(-S // C)
+    pad = n_chunks * C - S
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)))
+        lb_sorted = jnp.pad(lb_sorted, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+
+    def cond(state):
+        best_d, _, ci = state
+        nxt = jax.lax.dynamic_slice(lb_sorted, (jnp.int32(0), ci * C),
+                                    (q, 1))[:, 0]
+        return (ci < n_chunks) & jnp.any(nxt <= best_d[:, -1])
+
+    def body(state):
+        best_d, best_i, ci = state
+        sub_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C),
+                                        (q, C))              # (Q, C)
+        pos = members[sub_ids]                               # (Q, C, M)
+        valid = pos >= 0
+        pts = points[jnp.maximum(pos, 0)]                    # (Q, C, M, d)
+        if isinstance(metric, Euclidean):
+            diff = pts - queries[:, None, None, :]
+            d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        else:
+            flat = pts.reshape(q, C * M, dim)
+            d = jax.vmap(lambda qq, xx: metric.dist(qq[None], xx)[0])(
+                queries, flat).reshape(q, C, M)
+        d = jnp.where(valid, nan_to_inf(d), jnp.inf).reshape(q, C * M)
+        ids = jnp.where(valid, pos, -1).reshape(q, C * M)
+        best_d, best_i = merge_topk(d, ids, best_d, best_i, k)
+        return best_d, best_i, ci + 1
+
+    best_d, best_i, chunks_done = jax.lax.while_loop(
+        cond, body, (best_d, best_i, jnp.int32(0)))
+
+    if not with_stats:
+        return best_d, best_i
+    kth = best_d[:, -1]
+    surviving = jnp.sum(lb <= kth[:, None], axis=1).astype(jnp.int32)
+    stats = {"n_subtrees": jnp.int32(S),
+             "loop_chunks": chunks_done,
+             "chunk_size": jnp.int32(C),
+             "subtrees_surviving_final_bound": surviving,
+             "prune_ratio": 1.0 - surviving / S,
+             "trunk_size": jnp.int32(T)}
+    return best_d, best_i, stats
 
 
 def _build_host(points: np.ndarray, metric: Metric):
@@ -108,118 +319,12 @@ def _build_host(points: np.ndarray, metric: Metric):
             root, depth_max)
 
 
-@partial(jax.jit, static_argnames=("k", "static", "metric", "with_stats"))
-def _vp_knn(points, vp, radius, near, far, root, queries, *,
-            k: int, static: _VPStatic, metric: Metric,
-            with_stats: bool = False):
-    """Lockstep batched DFS with deferred prune keys.
-
-    Exact for any k <= n: a node is skipped only when the reference's own
-    strict pruning condition (checked against the *current* best, i.e. at
-    pop time) holds (vantage_point_tree.rs:111-129).
-    """
-    q, dim = queries.shape[0], queries.shape[1]
-    dtype = points.dtype
-    cap = static.depth + 4
-    neg_inf = jnp.array(-jnp.inf, dtype=dtype)
-
-    stack = jnp.zeros((q, cap), dtype=jnp.int32)
-    keys = jnp.full((q, cap), neg_inf, dtype=dtype)
-    stack = stack.at[:, 0].set(jnp.int32(root))
-    sp = jnp.ones((q,), dtype=jnp.int32)
-
-    # UNSORTED top-k working set: per-step maintenance is a handful of
-    # (Q, k) elementwise ops instead of a TopK custom call — the loop body
-    # runs tens of thousands of lockstep iterations, so per-step cost is
-    # everything.  Sorted once at the end.  (Warm-starting tau with seed
-    # candidates was tried and measured: visit counts unchanged — VP
-    # pruning here is structure-dominated, not tau-dominated.)
-    best_d = jnp.full((q, k), jnp.inf, dtype=dtype)
-    best_i = jnp.full((q, k), -1, dtype=jnp.int32)
-    rows = jnp.arange(q)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
-
-    def tau(bd):
-        return jnp.max(bd, axis=1)  # kth best (inf until filled)
-
-    visits0 = jnp.zeros((q,), dtype=jnp.int32)
-
-    def cond(state):
-        sp = state[4]
-        return jnp.any(sp > 0)
-
-    def body(state):
-        best_d, best_i, stack, keys, sp, visits = state
-        active = sp > 0
-        top = jnp.where(active, sp - 1, 0)
-        node = stack[rows, top]
-        key = keys[rows, top]
-        sp = jnp.where(active, sp - 1, sp)
-
-        # deferred prune check: visit only if tau > key (strict, like the
-        # reference's `d + best > r` / `d - best < r` conditions)
-        visit = active & (tau(best_d) > key)
-
-        v = vp[node]
-        r = radius[node]
-        d = nan_to_inf(metric.rowwise_dist(queries, points[v]))  # (Q,)
-
-        # best update (reference :106-109, generalized to top-k): replace
-        # the working set's per-query max when strictly better
-        cur_max = jnp.max(best_d, axis=1)
-        amax = jnp.argmax(best_d, axis=1).astype(jnp.int32)
-        take = visit & (d < cur_max)
-        sel = (kcol == amax[:, None]) & take[:, None]
-        best_d = jnp.where(sel, d[:, None], best_d)
-        best_i = jnp.where(sel, v[:, None].astype(jnp.int32), best_i)
-
-        nr = near[node]
-        fr = far[node]
-        near_branch = d < r                       # :111 vs :120
-        # deferred child (searched second, with prune key):
-        #   near branch: far, visit iff best > r - d   (:116)
-        #   far branch:  near, visit iff best > d - r  (:125)
-        c1 = jnp.where(near_branch, fr, nr)
-        k1 = jnp.where(near_branch, r - d, d - r).astype(dtype)
-        # immediate child (searched first, unconditional):
-        c2 = jnp.where(near_branch, nr, fr)
-
-        def push(stack, keys, sp, child, ckey, do):
-            do = do & (child != NULL)
-            slot = jnp.where(do, sp, 0)
-            cur_s = stack[rows, slot]
-            cur_k = keys[rows, slot]
-            stack = stack.at[rows, slot].set(
-                jnp.where(do, child.astype(jnp.int32), cur_s))
-            keys = keys.at[rows, slot].set(jnp.where(do, ckey, cur_k))
-            sp = jnp.where(do, sp + 1, sp)
-            return stack, keys, sp
-
-        stack, keys, sp = push(stack, keys, sp, c1, k1, visit)
-        stack, keys, sp = push(stack, keys, sp, c2,
-                               jnp.full_like(k1, neg_inf), visit)
-        visits = visits + visit.astype(jnp.int32)
-        return best_d, best_i, stack, keys, sp, visits
-
-    best_d, best_i, _, _, _, visits = jax.lax.while_loop(
-        cond, body, (best_d, best_i, stack, keys, sp, visits0))
-    # sort ascending once, at the end
-    out = smallest_k(best_d, best_i, k)
-    if with_stats:
-        # observability (SURVEY.md §5): per-query node-visit counts
-        stats = {"nodes_visited": visits,
-                 "n_nodes": jnp.int32(static.n_nodes),
-                 "visit_ratio": visits / static.n_nodes}
-        return out[0], out[1], stats
-    return out
-
-
 @partial(jax.jit, static_argnames=("static", "metric", "cap"))
 def _vp_radius(points, vp, radius, near, far, root, queries, r, *,
                static: _VPStatic, metric: Metric, cap: int):
     """Tree-pruned batched radius search (extension; inclusive d <= r).
 
-    Same lockstep DFS as ``_vp_knn`` with a FIXED threshold: by the
+    A lockstep DFS stack machine with a FIXED threshold: by the
     triangle inequality, points in the near child lie within ``rho`` of
     the vantage point, so the near subtree can be skipped when
     d(q, vp) - r > rho; the far subtree when d(q, vp) + r < rho.
@@ -266,9 +371,11 @@ def _vp_radius(points, vp, radius, near, far, root, queries, r, *,
 
         nr = near[node]
         fr = far[node]
-        # a NaN vantage distance gives no valid bound: visit both subtrees
-        push_near = active & (nr != NULL) & ((d - rr <= rho) | dnan)
-        push_far = active & (fr != NULL) & ((d + rr >= rho) | dnan)
+        # a NaN vantage distance OR a NaN node radius gives no valid
+        # bound: visit both subtrees
+        nobound = dnan | jnp.isnan(rho)
+        push_near = active & (nr != NULL) & ((d - rr <= rho) | nobound)
+        push_far = active & (fr != NULL) & ((d + rr >= rho) | nobound)
 
         def push(stack, sp, child, do):
             slot = jnp.where(do, sp, 0)
@@ -343,6 +450,23 @@ class VantagePointTree:
         # host copies for accessors
         self.nodes = {"vantage_point": vp, "radius": radius,
                       "near": near, "far": far}
+        self._flat = None        # lazy query flattening (_flatten_for_query)
+
+    def _flat_tables(self, target: int | None = None):
+        if self._flat is None:
+            n = self.n
+            if target is None:
+                # cut-subtree size: big enough that the scan tiles are
+                # fat (per-call cost is dominated by the trunk-distance /
+                # bound-sort phases, which scale with n/target), small
+                # enough that a scanned chunk stays cheap
+                target = int(min(max(n // 256, 64), 2048))
+            host = {k: np.asarray(v) for k, v in self.nodes.items()}
+            flat = _flatten_for_query(
+                host["vantage_point"], host["radius"], host["near"],
+                host["far"], self.root, target=target)
+            self._flat = tuple(jnp.asarray(a) for a in flat)
+        return self._flat
 
     @classmethod
     def euclidean(cls, points) -> "VantagePointTree":
@@ -396,8 +520,9 @@ class VantagePointTree:
         return np.asarray(i[0]).astype(np.int64), np.asarray(d[0])
 
     def query_batch(self, queries, k: int, *, with_stats: bool = False):
-        """Batched k-NN. ``with_stats=True`` also returns per-query
-        node-visit counts (observability, SURVEY.md §5)."""
+        """Batched k-NN. ``with_stats=True`` also returns pruning
+        observability counters (subtrees surviving the final bound,
+        loop chunks processed — SURVEY.md §5)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.n)
         if k_eff == 0:
@@ -433,7 +558,7 @@ class VantagePointTree:
                           static=self._static, metric=self.metric, cap=cap)
 
     def _knn(self, qs, k_eff: int, with_stats: bool = False):
-        return _vp_knn(self.points, self._vp, self._radius, self._near,
-                       self._far, self.root, qs,
-                       k=k_eff, static=self._static, metric=self.metric,
-                       with_stats=with_stats)
+        trunk_pts, members, anc_t, anc_near, anc_rho = self._flat_tables()
+        return _vp_knn_flat(self.points, qs, trunk_pts, members, anc_t,
+                            anc_near, anc_rho, k=k_eff, metric=self.metric,
+                            with_stats=with_stats)

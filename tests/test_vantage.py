@@ -145,16 +145,78 @@ class TestQueryOracle:
 
 
 class TestVpStats:
-    def test_visit_counts(self, rng):
+    def test_pruning_counters(self, rng):
         pts = rng.uniform(0, 1, (200, 3))
         vp = VantagePointTree.euclidean(pts)
         qs = rng.uniform(0, 1, (8, 3))
         d, i, stats = vp.query_batch(qs, 5, with_stats=True)
-        visits = np.asarray(stats["nodes_visited"])
-        assert visits.shape == (8,)
-        assert (visits >= 5).all() and (visits <= 200).all()
+        surv = np.asarray(stats["subtrees_surviving_final_bound"])
+        assert surv.shape == (8,)
+        assert (surv >= 1).all() and (surv <= int(stats["n_subtrees"])).all()
+        assert int(stats["loop_chunks"]) >= 1
         d2, i2 = vp.query_batch(qs, 5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+class TestFlatEngine:
+    """The flattened best-first engine (trunk + bounded cut subtrees) is
+    a pure efficiency redesign: exact results for every tree shape."""
+
+    @pytest.mark.parametrize("n", [33, 100, 800, 3000])
+    def test_flat_matches_oracle(self, rng, n):
+        pts = rng.normal(size=(n, 3))
+        qs = rng.normal(size=(16, 3))
+        vp = VantagePointTree.euclidean(pts)
+        d, i = vp.query_batch(qs, min(6, n))
+        d = np.asarray(d)
+        for r in range(16):
+            od, oi = numpy_knn(pts, qs[r], min(6, n))
+            np.testing.assert_allclose(d[r], od, rtol=1e-9)
+
+    def test_flatten_partitions_points(self, rng):
+        """Trunk vantage points + cut-subtree members = every point
+        exactly once (no candidate lost or duplicated)."""
+        from petal_neighbors_tpu.trees.vantage import _flatten_for_query
+        pts = rng.normal(size=(777, 2))
+        vp = VantagePointTree.euclidean(pts)
+        host = {k: np.asarray(v) for k, v in vp.nodes.items()}
+        trunk, members, anc_t, anc_near, anc_rho = _flatten_for_query(
+            host["vantage_point"], host["radius"], host["near"],
+            host["far"], vp.root, target=64)
+        ids = list(trunk[trunk >= 0]) + list(members[members >= 0])
+        assert sorted(ids) == list(range(777))
+
+    def test_nan_vantage_knn_does_not_prune(self):
+        """Regression: NaN vantage coordinates or NaN node radii yield
+        NaN pruning bounds, which must never prune subtrees holding
+        finite true neighbors (r1 bug: recall loss on NaN corpora)."""
+        rng = np.random.default_rng(5)
+        pts = rng.normal(size=(600, 4))
+        pts[599] = np.nan       # last row = root vantage (vp_tree:169)
+        pts[50, 1] = np.nan
+        pts[300:420, :] = np.nan  # NaN-heavy slices -> NaN median radii
+        qs = rng.normal(size=(12, 4))
+        vp = VantagePointTree.euclidean(pts)
+        finite = ~np.isnan(pts).any(1)
+        d, i = vp.query_batch(qs, 5)
+        d, i = np.asarray(d), np.asarray(i)
+        for r in range(12):
+            od = np.full(len(pts), np.inf)
+            od[finite] = np.sqrt(((pts[finite] - qs[r]) ** 2).sum(-1))
+            np.testing.assert_allclose(d[r], np.sort(od)[:5],
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_k_equals_n_scans_everything(self, rng):
+        """k = n keeps the k-th distance at the true maximum: no subtree
+        may be skipped and all n results must come back sorted."""
+        pts = rng.normal(size=(513, 2))
+        qs = rng.normal(size=(4, 2))
+        vp = VantagePointTree.euclidean(pts)
+        d, i = vp.query_batch(qs, 513)
+        od = np.sort(np.sqrt(((pts[None] - qs[:, None]) ** 2).sum(-1)), 1)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-5, atol=1e-6)
+        for r in range(4):
+            assert sorted(np.asarray(i)[r].tolist()) == list(range(513))
 
 
 class TestVpRadiusTreePruned:
