@@ -126,9 +126,11 @@ def main() -> None:
     _log("building index (one fused device program)")
     t0 = time.perf_counter()
     index = BruteForce.euclidean(points)
-    jax.block_until_ready(index._pallas_split
-                          if index._pallas_split is not None
-                          else index.point_norms)
+    sync = index._pallas_split
+    if sync is None:
+        sync = (index._pallas_norms if index._pallas_norms is not None
+                else index.point_norms)
+    jax.block_until_ready(sync)
     build_s = time.perf_counter() - t0
 
     qs_dev = jnp.asarray(queries)

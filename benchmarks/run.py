@@ -135,16 +135,21 @@ def bench_config5():
     """GIST-1M-shaped 960-d + cosine/minkowski generic-metric path."""
     from petal_neighbors_tpu import BruteForce, Cosine, Minkowski
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(5)
     n = 1_000_000  # true GIST-1M shape: 960-d f32 = 3.8 GB (fits v5e HBM)
-    pts = rng.random((n, 960), dtype=np.float32)
+    pts = jnp.asarray(rng.random((n, 960), dtype=np.float32))
+    # ONE upload shared by all three indexes: at ~30 MB/s tunnel
+    # bandwidth each extra 3.8 GB host->device copy costs ~2 minutes
     qs = rng.random((1_000, 960), dtype=np.float32)
     for name, metric in (("euclidean", None), ("cosine", Cosine()),
                          ("minkowski3", Minkowski(3.0))):
         idx = BruteForce(pts, metric or "euclidean")
-        dt = _time(lambda: idx.query_batch(qs, 10), reps=3)
+        dt = _time(lambda: idx.query_batch(qs, 10), reps=2)
         print(json.dumps({"metric": f"config5_gist960d_{name}_qps",
-                          "value": round(len(qs) / dt, 1), "unit": "qps"}))
+                          "value": round(len(qs) / dt, 1), "unit": "qps"}),
+              flush=True)
 
 
 BENCHES = {

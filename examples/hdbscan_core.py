@@ -1,16 +1,22 @@
-"""HDBSCAN computational core on top of the batched k-NN machinery.
+"""HDBSCAN computational core on top of the dual-tree join.
 
 The reference exposes its dual-tree node accessors *for* petal-clustering's
 HDBSCAN (SURVEY.md: CHANGELOG.md:70, ball_tree.rs:303-353).  This example
-provides the same consumer's heavy kernels, TPU-shaped:
+provides the same consumer's heavy kernels, TPU-shaped and END-TO-END on
+device:
 
-* ``core_distances`` — distance to the k-th neighbor of every point
-  (one batched lockstep tree query);
+* ``core_distances`` — distance to the k-th neighbor of every point: ONE
+  dual-tree self-join program (``BallTree.query_tree``, the batched form
+  of the node-pair traversal the accessors enable);
 * ``mutual_reachability`` — max(core_i, core_j, d(i, j)) pairwise matrix
-  (one MXU pairwise pass + elementwise maxima);
+  (one MXU pairwise pass + elementwise maxima, one jitted program);
 * ``mst_edges`` — Prim's minimum spanning tree over mutual reachability
-  (the single-linkage backbone of HDBSCAN), host-side O(n^2) over the
-  device-computed matrix.
+  (the single-linkage backbone of HDBSCAN), a single jitted
+  ``fori_loop`` on device (n-1 argmin/relax steps over (n,) vectors).
+
+O(n^2) memory in the matrix stages — the MST-backbone regime (<= ~30k
+points on one chip); larger n should feed Boruvka rounds from the
+dual-tree join directly.
 
 Run:  python examples/hdbscan_core.py
 """
@@ -25,54 +31,83 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def core_distances(points, k: int, *, batch: int = 8192) -> np.ndarray:
-    """d(p, k-th neighbor of p), self included (HDBSCAN's core distance)."""
+def core_distances(points, k: int) -> np.ndarray:
+    """d(p, k-th neighbor of p), self included (HDBSCAN's core distance).
+    One device program: the dual-tree all-k-NN self-join."""
     from petal_neighbors_tpu import BallTree
 
-    points = np.asarray(points)
-    tree = BallTree.euclidean(points)
-    out = np.empty(len(points), dtype=np.float64)
-    for s in range(0, len(points), batch):
-        d, _ = tree.query_batch(points[s:s + batch], k)
-        out[s:s + batch] = np.asarray(d)[:, -1]
-    return out
+    tree = BallTree.euclidean(np.asarray(points))
+    d, _ = tree.query_tree(tree, k)
+    return np.asarray(d)[:, -1].astype(np.float64)
+
+
+def _mutual_reachability_device(points, core):
+    import jax.numpy as jnp
+    from petal_neighbors_tpu import pairwise
+
+    d = pairwise(jnp.asarray(points))
+    m = jnp.maximum(d, jnp.maximum(core[:, None], core[None, :]))
+    n = d.shape[0]
+    return jnp.where(jnp.eye(n, dtype=bool), 0.0, m)
 
 
 def mutual_reachability(points, k: int) -> np.ndarray:
-    """(n, n) mutual-reachability matrix:
-    max(core_i, core_j, d(i, j)).  O(n^2) memory — for the MST stage on
-    moderate n; larger n should chunk rows into Prim's directly."""
-    from petal_neighbors_tpu import pairwise
+    """(n, n) mutual-reachability matrix: max(core_i, core_j, d(i, j))."""
+    import jax.numpy as jnp
 
-    core = core_distances(points, k)
-    d = np.asarray(pairwise(np.asarray(points)))
-    m = np.maximum(d, core[:, None])
-    m = np.maximum(m, core[None, :])
-    np.fill_diagonal(m, 0.0)
-    return m
+    points = np.asarray(points)
+    core = core_distances(points, k).astype(points.dtype)
+    return np.asarray(
+        _mutual_reachability_device(points, jnp.asarray(core)))
+
+
+def _mst_prim_device(m):
+    """Prim's MST on device: one jitted fori_loop, n-1 argmin/relax steps
+    over (n,) vectors.  Returns (us, vs, ws) edge arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    n = m.shape[0]
+
+    def step(t, state):
+        best, best_from, in_tree, us, vs, ws = state
+        cand = jnp.where(in_tree, jnp.inf, best)
+        j = jnp.argmin(cand).astype(jnp.int32)
+        us = us.at[t].set(best_from[j])
+        vs = vs.at[t].set(j)
+        ws = ws.at[t].set(best[j])
+        in_tree = in_tree.at[j].set(True)
+        row = m[j]
+        closer = row < best
+        best = jnp.where(closer, row, best)
+        best_from = jnp.where(closer, j, best_from)
+        return best, best_from, in_tree, us, vs, ws
+
+    init = (m[0],
+            jnp.zeros(n, dtype=jnp.int32),
+            jnp.zeros(n, dtype=bool).at[0].set(True),
+            jnp.zeros(n - 1, dtype=jnp.int32),
+            jnp.zeros(n - 1, dtype=jnp.int32),
+            jnp.zeros(n - 1, dtype=m.dtype))
+    _, _, _, us, vs, ws = jax.lax.fori_loop(0, n - 1, step, init)
+    return us, vs, ws
 
 
 def mst_edges(points, k: int):
     """Prim's MST over mutual reachability: the HDBSCAN single-linkage
-    backbone.  Returns (u, v, weight) edges, n-1 of them."""
-    m = mutual_reachability(points, k)
-    n = len(m)
-    in_tree = np.zeros(n, dtype=bool)
-    best = np.full(n, np.inf)
-    best_from = np.zeros(n, dtype=np.int64)
-    in_tree[0] = True
-    best = m[0].copy()
-    best_from[:] = 0
-    edges = []
-    for _ in range(n - 1):
-        cand = np.where(in_tree, np.inf, best)
-        j = int(np.argmin(cand))
-        edges.append((int(best_from[j]), j, float(best[j])))
-        in_tree[j] = True
-        closer = m[j] < best
-        best = np.where(closer, m[j], best)
-        best_from = np.where(closer, j, best_from)
-    return edges
+    backbone.  Returns (u, v, weight) edges, n-1 of them.  Both the
+    matrix and the MST run on device; only the final edge list lands on
+    host."""
+    import jax
+    import jax.numpy as jnp
+
+    points = np.asarray(points)
+    core = core_distances(points, k).astype(points.dtype)
+    m = _mutual_reachability_device(points, jnp.asarray(core))
+    us, vs, ws = jax.jit(_mst_prim_device)(m)
+    return [(int(u), int(v), float(w))
+            for u, v, w in zip(np.asarray(us), np.asarray(vs),
+                               np.asarray(ws))]
 
 
 if __name__ == "__main__":

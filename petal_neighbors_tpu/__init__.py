@@ -19,7 +19,8 @@ from . import distance
 from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
                        Metric, Minkowski, SqEuclidean, pairwise)
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
-from .trees import BallTree, BruteForce, DynamicIndex, VantagePointTree
+from .trees import (BallTree, BruteForce, DynamicIndex, VantagePointTree,
+                    dual_tree_knn)
 from .utils.serialize import load_index, save_index
 
 __version__ = "0.1.0"
@@ -42,6 +43,7 @@ __all__ = [
     "VantagePointTree",
     "BruteForce",
     "DynamicIndex",
+    "dual_tree_knn",
     "save_index",
     "load_index",
 ]

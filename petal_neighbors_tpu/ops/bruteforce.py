@@ -58,21 +58,30 @@ def _pick_chunk(n: int, q: int, dim: int, chunk: int | None,
 RESCORE_SLACK = 8
 
 
-@partial(jax.jit, static_argnames=("tn",))
-def prepare_euclidean_index(points, tn: int):
+@partial(jax.jit, static_argnames=("tn", "with_split"))
+def prepare_euclidean_index(points, tn: int, with_split: bool = True):
     """One jitted program computing every index-resident artifact for the
-    high-dim Euclidean path: center, centered points, squared norms,
-    kernel-padded copies, and the bf16 hi/lo split planes.  Fused so index
-    build is ONE device dispatch (each eager op costs a tunnel RTT; the
-    unfused sequence measured 19.5 s vs 5.5 s at SIFT-1M)."""
+    high-dim Euclidean path: center, kernel-padded centered points +
+    norms, the NaN-row mask, and (optionally) the bf16 hi/lo split
+    planes.  Fused so index build is ONE device dispatch (each eager op
+    costs a tunnel RTT; the unfused sequence measured 19.5 s vs 5.5 s at
+    SIFT-1M).
+
+    Only DERIVED arrays are kept resident — no separate centered copy
+    (callers slice ``ppad[:n]`` when the XLA path needs it) and the
+    original stays on host: at GIST-1M scale (3.8 GB f32) each avoided
+    copy is a quarter of the chip's HBM.  ``with_split=False`` skips the
+    bf16 planes (another 1x f32 copy) — callers disable it when n*d
+    exceeds a budget and query at "highest" precision instead.
+    """
     from .pallas.knn_kernel import prepare_split
 
     mu = center_of(points)
     qpts = points - mu
-    norms = jnp.sum(qpts * qpts, axis=-1)
-    ppad, pnorm = pad_for_pallas(qpts, norms, tn=tn)
-    split = prepare_split(ppad)
-    return mu, qpts, norms, ppad, pnorm, split
+    bad = jnp.any(jnp.isnan(points), axis=-1)
+    ppad, pnorm = pad_for_pallas(qpts, tn=tn)
+    split = prepare_split(ppad) if with_split else None
+    return mu, ppad, pnorm, split, bad
 
 _fallback_warned = False
 
@@ -381,7 +390,8 @@ def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
 
 
 def radius_mask(points, queries, radius, metric: Metric | None = None,
-                *, inclusive: bool = True, chunk: int | None = None):
+                *, inclusive: bool = True, chunk: int | None = None,
+                invalid=None):
     """Boolean membership mask (Q, n): distance-to-query within ``radius``.
 
     ``inclusive=True`` uses ``d <= r``. The reference's single-query leaf
@@ -389,19 +399,28 @@ def radius_mask(points, queries, radius, metric: Metric | None = None,
     (ball_tree.rs:271-277); the tree layer reproduces that exact boundary
     behavior — this brute-force op exposes both so callers can choose.
     NaN distances never match (NaN -> +inf).
+
+    ``invalid``: optional (n,) bool — rows that can never match.  Passed
+    by indexes whose resident representation zeroes NaN rows (the padded
+    kernel copy): the zeroed coordinates would otherwise produce real
+    distances instead of the NaN-never-matches contract.
     """
     metric = metric or Euclidean()
     points = jnp.asarray(points)
     queries = jnp.asarray(queries)
     c = _pick_chunk(points.shape[0], queries.shape[0], points.shape[1],
                     chunk, direct=isinstance(metric, Euclidean))
+    if invalid is None:
+        invalid = jnp.zeros((points.shape[0],), dtype=bool)
     return _radius_mask_jit(points, queries,
                             jnp.asarray(radius, dtype=points.dtype),
-                            metric=metric, inclusive=inclusive, chunk=c)
+                            invalid, metric=metric, inclusive=inclusive,
+                            chunk=c)
 
 
 @partial(jax.jit, static_argnames=("metric", "inclusive", "chunk"))
-def _radius_mask_jit(points, queries, radius, *, metric, inclusive, chunk):
+def _radius_mask_jit(points, queries, radius, invalid, *, metric, inclusive,
+                     chunk):
     n, dim = points.shape
     q = queries.shape[0]
     rr = metric.distance_to_rdistance(radius)
@@ -411,11 +430,13 @@ def _radius_mask_jit(points, queries, radius, *, metric, inclusive, chunk):
     n_pad = n_chunks * c
     if n_pad != n:
         points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+        invalid = jnp.pad(invalid, (0, n_pad - n), constant_values=True)
     chunks = points.reshape(n_chunks, c, dim)
+    inv_chunks = invalid.reshape(n_chunks, c)
     col = jnp.arange(c, dtype=jnp.int32)
 
     def body(_, chunk_in):
-        pts, base = chunk_in
+        pts, inv, base = chunk_in
         if isinstance(metric, Euclidean):
             # direct form at any dim: membership is a two-sided boundary
             # test the matmul form's cancellation error would flip
@@ -424,11 +445,11 @@ def _radius_mask_jit(points, queries, radius, *, metric, inclusive, chunk):
         else:
             rd = nan_to_inf(metric.rdist(queries, pts))
         m = (rd <= rr) if inclusive else (rd < rr)
-        m = m & ((base + col)[None, :] < n)
+        m = m & ((base + col)[None, :] < n) & ~inv[None, :]
         return None, m
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
-    _, masks = jax.lax.scan(body, None, (chunks, bases))
+    _, masks = jax.lax.scan(body, None, (chunks, inv_chunks, bases))
     # (n_chunks, q, c) -> (q, n)
     return jnp.moveaxis(masks, 0, 1).reshape(q, n_pad)[:, :n]
 

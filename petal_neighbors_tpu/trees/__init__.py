@@ -2,8 +2,9 @@
 
 from .ball import BallTree, Node, NodeTable
 from .bruteforce import BruteForce
+from .dual import dual_tree_knn
 from .dynamic import DynamicIndex
 from .vantage import VantagePointTree
 
 __all__ = ["BallTree", "Node", "NodeTable", "BruteForce", "DynamicIndex",
-           "VantagePointTree"]
+           "VantagePointTree", "dual_tree_knn"]

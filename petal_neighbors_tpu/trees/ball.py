@@ -336,6 +336,15 @@ class BallTree:
     def num_nodes(self) -> int:
         return self._shape.n_nodes
 
+    def query_tree(self, other: "BallTree", k: int):
+        """Dual-tree k-NN join: for every point of ``self``, the ``k``
+        nearest points of ``other`` (the batched device-side form of the
+        node-pair traversal the accessors above enable — see
+        ``trees.dual.dual_tree_knn``).  ``self.query_tree(self, k)`` is
+        the all-k-NN self-join (HDBSCAN core distances)."""
+        from .dual import dual_tree_knn
+        return dual_tree_knn(self, other, k)
+
     def num_points(self) -> int:
         return self.points.shape[0]
 

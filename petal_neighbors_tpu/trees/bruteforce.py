@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..distance import Euclidean, Metric, get_metric
 from ..ops import bruteforce as bf
-from ..utils.validation import check_points, check_query, check_query_batch
+from ..utils.validation import (check_points, check_points_host, check_query,
+                                check_query_batch)
 
 __all__ = ["BruteForce"]
 
@@ -22,16 +23,18 @@ __all__ = ["BruteForce"]
 class BruteForce:
     """Exact k-NN index backed by streamed MXU distance tiles."""
 
+    #: skip the bf16 hi/lo split planes past this many elements (they cost
+    #: one extra f32-sized HBM copy; GIST-1M at 960-d would OOM a 16 GB
+    #: chip) — queries then run the kernel at "highest" precision
+    SPLIT_BUDGET_ELEMS = 512 * (1 << 20)
+
     def __init__(self, points, metric: Metric | str = "euclidean"):
         self.metric = get_metric(metric)
-        self.points = check_points(points)         # public, original data
-        self.metric.validate_dim(self.points.shape[1])
         # The matmul distance form needs centered data for exactness
         # (ops.bruteforce.center_of) and index-resident squared norms;
         # both are paid once at build time.  Distances are unchanged
         # (translation invariance); low-dim paths use the direct form.
         self._center = None
-        self._qpoints = self.points                # what queries run against
         self.point_norms = None
         #: backend that served the most recent ``query_batch`` call
         #: ("pallas" | "xla" | None before the first query)
@@ -39,18 +42,28 @@ class BruteForce:
         # Pre-padded copies for the fused Pallas kernel (padding a large
         # corpus per query call costs an extra full-index HBM copy)
         self._pallas_pts = self._pallas_norms = self._pallas_split = None
-        pallas_ok = bf._pallas_eligible(self.points, self.points[:1], 1,
-                                        self.metric)
-        if isinstance(self.metric, Euclidean):
-            from ..distance import DIRECT_DIM_MAX
-            high_dim = self.points.shape[1] > DIRECT_DIM_MAX
-            if high_dim and pallas_ok:
-                # one fused device program for all index artifacts
-                (self._center, self._qpoints, self.point_norms,
-                 self._pallas_pts, self._pallas_norms,
-                 self._pallas_split) = bf.prepare_euclidean_index(
-                    self.points, bf.pallas_tile_n(self.points.shape[1]))
-            else:
+        self._invalid = None
+        from ..distance import DIRECT_DIM_MAX
+        probe = check_points_host(points)
+        self.metric.validate_dim(probe.shape[1])
+        high_dim = probe.shape[1] > DIRECT_DIM_MAX
+        pallas_ok = bf._pallas_eligible(probe, probe[:1], 1, self.metric)
+        if isinstance(self.metric, Euclidean) and high_dim and pallas_ok:
+            # HBM discipline for multi-GB corpora: the original stays on
+            # host; only DERIVED device arrays are resident (padded
+            # centered points + norms [+ bf16 planes under budget]); the
+            # XLA/radius paths slice ppad[:n] on demand
+            self.points = probe                    # public, original data
+            n, d = probe.shape
+            with_split = n * d <= self.SPLIT_BUDGET_ELEMS
+            (self._center, self._pallas_pts, self._pallas_norms,
+             self._pallas_split, self._invalid) = bf.prepare_euclidean_index(
+                probe, bf.pallas_tile_n(d), with_split=with_split)
+            self._qpoints = None                   # lazy: _pallas_pts[:n]
+        else:
+            self.points = check_points(points)     # public, original data
+            self._qpoints = self.points            # what queries run against
+            if isinstance(self.metric, Euclidean):
                 if high_dim:
                     self._center = bf.center_of(self.points)
                     self._qpoints = self.points - self._center
@@ -78,20 +91,33 @@ class BruteForce:
         """Center queries to match the index's centered representation."""
         return qs if self._center is None else qs - self._center
 
+    def _xla_points(self):
+        """Device points for the XLA/radius paths.  In kernel mode only
+        the padded centered copy is resident (HBM discipline) — slice it
+        (a transient copy, paid only when these paths actually run).
+        NaN rows are zeroed there with +inf norms / an invalid mask, so
+        the NaN-never-matches contract still holds on every path."""
+        if self._qpoints is not None:
+            return self._qpoints
+        return self._pallas_pts[:self.num_points]
+
+    def _xla_norms(self):
+        if self._qpoints is not None:
+            return self.point_norms
+        return self._pallas_norms[:self.num_points]
+
     # -- single-query API (reference-shaped) ------------------------------
     def query_nearest(self, point):
         """(index, distance) of the nearest point (ball_tree.rs:80-87)."""
         q = check_query(point, self.dim, self.points.dtype)
-        d, i = bf.knn(self._qpoints, self._q(q[None, :]), 1, self.metric,
-                      point_norms=self.point_norms, assume_centered=True)
+        d, i = self.query_batch(q[None, :], 1)
         return int(i[0, 0]), float(d[0, 0])
 
     def query(self, point, k: int):
         """(indices, distances), ascending; k=0 -> empty; k>n -> n results
         (ball_tree.rs:102-121)."""
         q = check_query(point, self.dim, self.points.dtype)
-        d, i = bf.knn(self._qpoints, self._q(q[None, :]), k, self.metric,
-                      point_norms=self.point_norms, assume_centered=True)
+        d, i = self.query_batch(q[None, :], k)
         return np.asarray(i[0]), np.asarray(d[0])
 
     def query_radius(self, point, distance):
@@ -102,8 +128,8 @@ class BruteForce:
         contract, ball_tree.rs:123-124).
         """
         q = check_query(point, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self._qpoints, self._q(q[None, :]), distance,
-                              self.metric)
+        mask = bf.radius_mask(self._xla_points(), self._q(q[None, :]),
+                              distance, self.metric, invalid=self._invalid)
         return np.flatnonzero(np.asarray(mask[0])).astype(np.int64)
 
     # -- batched API (the TPU path) ----------------------------------------
@@ -113,16 +139,19 @@ class BruteForce:
         if (self._pallas_pts is not None
                 and 1 <= k_eff <= 256 - bf.RESCORE_SLACK):
             try:
+                # no split planes (over SPLIT_BUDGET_ELEMS): query at
+                # "highest" rather than re-deriving them per call
+                prec = "high" if self._pallas_split is not None else "highest"
                 d, i = bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
                     k_eff, self.num_points, self._center,
-                    pts_split=self._pallas_split)
+                    precision=prec, pts_split=self._pallas_split)
                 self.last_backend = "pallas"
                 return d, i
             except Exception as exc:
                 bf.warn_pallas_fallback(exc)
-        d, i = bf.knn(self._qpoints, self._q(qs), k, self.metric,
-                      chunk=chunk, point_norms=self.point_norms,
+        d, i = bf.knn(self._xla_points(), self._q(qs), k, self.metric,
+                      chunk=chunk, point_norms=self._xla_norms(),
                       assume_centered=True, backend="xla")
         self.last_backend = "xla"
         return d, i
@@ -131,8 +160,9 @@ class BruteForce:
                                  inclusive: bool = True):
         """Per-query neighbor counts only (no lists materialized)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
-                              self.metric, inclusive=inclusive)
+        mask = bf.radius_mask(self._xla_points(), self._q(qs), distance,
+                              self.metric, inclusive=inclusive,
+                              invalid=self._invalid)
         return bf.radius_counts(mask)
 
     def query_radius_batch(self, queries, distance, *, cap: int | None = None,
@@ -145,8 +175,9 @@ class BruteForce:
         DynamicIndex uses this for delta rows so semantics match the base
         tree's leaf path)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self._qpoints, self._q(qs), distance,
-                              self.metric, inclusive=inclusive)
+        mask = bf.radius_mask(self._xla_points(), self._q(qs), distance,
+                              self.metric, inclusive=inclusive,
+                              invalid=self._invalid)
         if cap is None:
             return mask
         return bf.compact_mask(mask, cap)

@@ -15,14 +15,18 @@ mutation load crosses ``rebuild_threshold`` of the base, ``rebuild()``
 compacts: dead rows are dropped for good (memory stays proportional to
 live rows), while ids remain stable forever (never reused).
 
-Trade-off note: a query here is several jitted dispatches (two segment
-queries + the merge), not the single program of the immutable indexes —
-the price of mutability on a remote device.  Rebuild to return to
-single-segment speed.
+k-NN queries are ONE fused device program (``_fused_knn``: base tree
+query + delta scan + tombstone mask + merge), same dispatch count as the
+immutable indexes; side-table shapes are padded to powers of two so the
+program recompiles O(log #mutations) times.  Radius queries still take
+two segment dispatches plus an eager merge.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -33,6 +37,44 @@ from .ball import BallTree
 from .bruteforce import BruteForce
 
 __all__ = ["DynamicIndex"]
+
+
+def _pow2_pad(n: int) -> int:
+    """Next power of two (0 -> 0): pads dynamic-length side tables so jit
+    recompiles O(log) times as mutations accumulate, not per mutation."""
+    return 0 if n == 0 else 1 << (n - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=("k_eff", "kb", "kd", "shape", "metric"))
+def _fused_knn(points_perm, perm_norms, orig_ids, leaf_c, leaf_r, center,
+               base_map, delta_rows, delta_map, tomb, qs, *,
+               k_eff: int, kb: int, kd: int, shape, metric: Metric):
+    """ONE device program for the two-segment query: base tree k-NN +
+    delta brute scan + tombstone masking + exact merge.  The eager
+    version cost 5-8 dispatches — each a tunnel round-trip (CLAUDE.md);
+    measured ~6x worse than a single program on remote devices.
+
+    ``kb``/``kd`` over-fetch each segment by (padded) #tombstones so dead
+    rows cannot crowd out live candidates; padded delta rows are NaN
+    (sort farthest) with -1 ids; padded tombstone slots are -1, which
+    only ever mask already-dead (-1) entries."""
+    from ..ops import bruteforce as bf
+    from . import ball_query
+
+    d, i = ball_query.knn_query(points_perm, perm_norms, orig_ids, leaf_c,
+                                leaf_r, qs, center, k=kb, shape=shape,
+                                metric=metric)
+    i = jnp.where(i >= 0, base_map[jnp.maximum(i, 0)], -1)
+    if kd:
+        dd, di = bf.knn(delta_rows, qs, kd, metric, backend="xla")
+        di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
+        d = jnp.concatenate([d, dd], axis=1)
+        i = jnp.concatenate([i, di], axis=1)
+    if tomb is not None:
+        dead = jnp.isin(i, tomb)
+        d = jnp.where(dead, jnp.inf, d)
+        i = jnp.where(dead, -1, i)
+    return smallest_k(d, i, k_eff)
 
 
 class DynamicIndex:
@@ -53,6 +95,36 @@ class DynamicIndex:
         self._delta: BruteForce | None = None      # built lazily
         self._tombstones: set[int] = set()         # pending deletes (live ids)
         self._next_id = pts.shape[0]
+
+    @classmethod
+    def _from_state(cls, base_rows, metric, leaf_size, centroids, radii,
+                    idx, base_ids, delta_rows, delta_ids, tombstones,
+                    next_id, rebuild_threshold):
+        """Rehydrate from a checkpoint (utils.serialize): the base tree
+        is restored from its arrays (no rebuild) and pending mutations
+        (delta rows, tombstones) resume exactly where they were."""
+        self = cls.__new__(cls)
+        self.metric = get_metric(metric)
+        self._leaf_size = leaf_size
+        self.rebuild_threshold = float(rebuild_threshold)
+        self._base = BallTree._from_arrays(base_rows, self.metric,
+                                           leaf_size, centroids, radii, idx)
+        self._base_rows = np.asarray(self._base.points)
+        self._base_ids = np.asarray(base_ids, dtype=np.int64)
+        delta_rows = np.asarray(delta_rows)
+        self._delta_rows = [delta_rows] if len(delta_rows) else []
+        self._delta_ids = ([np.asarray(delta_ids, dtype=np.int64)]
+                           if len(delta_rows) else [])
+        self._delta = None
+        self._tombstones = set(int(t) for t in np.asarray(tombstones))
+        self._next_id = int(next_id)
+        return self
+
+    def save(self, path) -> None:
+        """Checkpoint the full serving state — base tree, id table, and
+        PENDING mutations — to an ``.npz`` (see utils.serialize)."""
+        from ..utils.serialize import save_index
+        save_index(self, path)
 
     # ------------------------------------------------------------------
     @property
@@ -144,39 +216,60 @@ class DynamicIndex:
                 np.concatenate(self._delta_rows, axis=0), self.metric)
         return self._delta
 
-    def query_batch(self, queries, k: int):
-        """Exact k nearest among live points: per-segment over-fetch (so
-        tombstones cannot crowd out live candidates), tombstone masking,
-        one final exact selection."""
-        qs = check_query_batch(queries, self.dim, self._base.points.dtype)
+    def _padded_mutation_state(self):
+        """(delta_rows, delta_map, tomb) padded to power-of-two lengths
+        (NaN rows / -1 ids / -1 tombstones) so the fused program
+        recompiles O(log #mutations) times, not once per mutation."""
+        dtype = self._base_rows.dtype
+        if self._delta_rows:
+            rows = np.concatenate(self._delta_rows, axis=0)
+            ids = np.concatenate(self._delta_ids)
+            m = _pow2_pad(len(rows))
+            if m != len(rows):
+                rows = np.concatenate(
+                    [rows, np.full((m - len(rows), rows.shape[1]), np.nan,
+                                   dtype=dtype)])
+                ids = np.concatenate(
+                    [ids, np.full(m - len(ids), -1, dtype=ids.dtype)])
+            delta_rows = jnp.asarray(rows)
+            delta_map = jnp.asarray(ids, dtype=jnp.int32)
+        else:
+            delta_rows = delta_map = None
         t = len(self._tombstones)
+        if t:
+            tp = _pow2_pad(t)
+            tomb_np = np.full(tp, -1, dtype=np.int32)
+            tomb_np[:t] = sorted(self._tombstones)
+            tomb = jnp.asarray(tomb_np)
+        else:
+            tomb = None
+        return delta_rows, delta_map, tomb
+
+    def query_batch(self, queries, k: int):
+        """Exact k nearest among live points, as ONE fused device
+        program: per-segment over-fetch (so tombstones cannot crowd out
+        live candidates), tombstone masking, one final exact selection
+        (see ``_fused_knn``)."""
+        qs = check_query_batch(queries, self.dim, self._base.points.dtype)
         k_eff = min(int(k), self.num_points)
         if k_eff == 0:
             return (jnp.zeros((qs.shape[0], 0),
                               dtype=self._base.points.dtype),
                     jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
 
-        kb = min(k_eff + t, len(self._base_ids))
-        d, i = self._base.query_batch(qs, kb)
-        base_map = jnp.asarray(self._base_ids, dtype=jnp.int32)
-        i = jnp.where(i >= 0, base_map[jnp.maximum(i, 0)], -1)
-
-        delta = self._delta_index()
-        if delta is not None:
-            delta_map = jnp.asarray(np.concatenate(self._delta_ids),
-                                    dtype=jnp.int32)
-            kd = min(k_eff + t, delta.num_points)
-            dd, di = delta.query_batch(qs, kd)
-            di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
-            d = jnp.concatenate([d, dd], axis=1)
-            i = jnp.concatenate([i, di], axis=1)
-
-        if t:
-            tomb = jnp.asarray(sorted(self._tombstones), dtype=jnp.int32)
-            dead = jnp.isin(i, tomb)
-            d = jnp.where(dead, jnp.inf, d)
-            i = jnp.where(dead, -1, i)
-        return smallest_k(d, i, k_eff)
+        delta_rows, delta_map, tomb = self._padded_mutation_state()
+        t_pad = 0 if tomb is None else tomb.shape[0]
+        kb = min(k_eff + t_pad, len(self._base_ids))
+        kd = 0 if delta_rows is None \
+            else min(k_eff + t_pad, delta_rows.shape[0])
+        base = self._base
+        return _fused_knn(
+            base._points_perm, base._perm_norms, base._orig_ids,
+            base._leaf_centroids, base._leaf_radii, base._qcenter,
+            jnp.asarray(self._base_ids, dtype=jnp.int32),
+            delta_rows, delta_map, tomb, qs,
+            k_eff=k_eff, kb=kb, kd=kd, shape=base._shape,
+            metric=self.metric)
 
     def query(self, point, k: int):
         qs = check_query(point, self.dim, self._base.points.dtype)

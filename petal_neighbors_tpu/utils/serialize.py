@@ -16,7 +16,7 @@ from ..distance import Minkowski, get_metric
 
 __all__ = ["save_index", "load_index"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2          # v2: DynamicIndex (base+delta+tombstones)
 
 
 def _metric_spec(metric) -> str:
@@ -32,10 +32,16 @@ def _metric_from_spec(spec: str):
 
 
 def save_index(index, path) -> None:
-    """Serialize a BallTree / VantagePointTree / BruteForce to ``path``."""
+    """Serialize a BallTree / VantagePointTree / BruteForce /
+    DynamicIndex to ``path``."""
     from ..trees.ball import BallTree
     from ..trees.bruteforce import BruteForce
+    from ..trees.dynamic import DynamicIndex
     from ..trees.vantage import VantagePointTree
+
+    if isinstance(index, DynamicIndex):
+        _save_dynamic(index, path)
+        return
 
     # device->host exports can carry the device's (possibly transposed)
     # layout; persist C-order so reload passes the row-contiguity contract
@@ -68,6 +74,35 @@ def save_index(index, path) -> None:
         raise TypeError(f"cannot serialize {type(index).__name__}")
 
 
+def _save_dynamic(index, path) -> None:
+    """DynamicIndex checkpoint: base tree arrays + id table + PENDING
+    mutations (delta rows/ids, tombstones) — a mid-stream save restores
+    the exact serving state, no rebuild and no mutation loss."""
+    c = np.ascontiguousarray
+    base = index._base
+    delta_rows = (np.concatenate(index._delta_rows, axis=0)
+                  if index._delta_rows
+                  else np.zeros((0, index.dim), dtype=index._base_rows.dtype))
+    delta_ids = (np.concatenate(index._delta_ids)
+                 if index._delta_ids else np.zeros(0, dtype=np.int64))
+    np.savez_compressed(
+        path, kind="dynamic",
+        format_version=np.int64(_FORMAT_VERSION),
+        metric=_metric_spec(index.metric),
+        points=c(np.asarray(index._base_rows)),
+        idx=c(np.asarray(base.idx)),
+        centroids=c(np.asarray(base.nodes.centroids)),
+        radii=c(np.asarray(base.nodes.radii)),
+        leaf_size=np.int64(-1 if index._leaf_size is None
+                           else index._leaf_size),
+        base_ids=c(np.asarray(index._base_ids)),
+        delta_rows=c(delta_rows),
+        delta_ids=c(delta_ids),
+        tombstones=np.asarray(sorted(index._tombstones), dtype=np.int64),
+        next_id=np.int64(index._next_id),
+        rebuild_threshold=np.float64(index.rebuild_threshold))
+
+
 def load_index(path):
     """Load an index saved by ``save_index`` (no rebuild: arrays are
     restored bit-identically)."""
@@ -93,4 +128,12 @@ def load_index(path):
                 int(z["root"]), int(z["depth"]))
         if kind == "brute":
             return BruteForce(points, metric)
+        if kind == "dynamic":
+            from ..trees.dynamic import DynamicIndex
+            leaf = int(z["leaf_size"])
+            return DynamicIndex._from_state(
+                points, metric, None if leaf < 0 else leaf,
+                z["centroids"], z["radii"], z["idx"], z["base_ids"],
+                z["delta_rows"], z["delta_ids"], z["tombstones"],
+                int(z["next_id"]), float(z["rebuild_threshold"]))
         raise ValueError(f"unknown index kind {kind!r}")

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..errors import EmptyArrayError, NotContiguousError
 
-__all__ = ["check_points", "check_query", "INT_DTYPE"]
+__all__ = ["check_points", "check_points_host", "check_query", "INT_DTYPE"]
 
 INT_DTYPE = jnp.int32
 
@@ -46,6 +46,19 @@ def _as_float_dtype(dtype) -> np.dtype:
     return np.dtype(np.float32)
 
 
+def _validate_np(points: np.ndarray) -> None:
+    if points.ndim != 2:
+        raise ValueError(f"points must be 2-D, got shape {points.shape}")
+    if points.shape[0] == 0 or points.shape[1] == 0:
+        raise EmptyArrayError()
+    # Row-contiguity: each row must be contiguous in memory. A C-order
+    # matrix always is; a Fortran-order matrix with >1 row is not
+    # (mirrors ndarray's `is_standard_layout` on row 0).
+    if points.shape[0] > 1 and points.shape[1] > 1:
+        if points.strides[1] != points.itemsize:
+            raise NotContiguousError()
+
+
 def check_points(points) -> jnp.ndarray:
     """Validate and convert a (n, d) points matrix.
 
@@ -54,16 +67,7 @@ def check_points(points) -> jnp.ndarray:
     standard-layout check, ball_tree.rs:47-49).
     """
     if isinstance(points, np.ndarray):
-        if points.ndim != 2:
-            raise ValueError(f"points must be 2-D, got shape {points.shape}")
-        if points.shape[0] == 0 or points.shape[1] == 0:
-            raise EmptyArrayError()
-        # Row-contiguity: each row must be contiguous in memory. A C-order
-        # matrix always is; a Fortran-order matrix with >1 row is not
-        # (mirrors ndarray's `is_standard_layout` on row 0).
-        if points.shape[0] > 1 and points.shape[1] > 1:
-            if points.strides[1] != points.itemsize:
-                raise NotContiguousError()
+        _validate_np(points)
         return jnp.asarray(points, dtype=_as_float_dtype(points.dtype))
 
     arr = jnp.asarray(points)
@@ -72,6 +76,20 @@ def check_points(points) -> jnp.ndarray:
     if arr.shape[0] == 0 or arr.shape[1] == 0:
         raise EmptyArrayError()
     return arr.astype(_as_float_dtype(arr.dtype))
+
+
+def check_points_host(points):
+    """``check_points`` that keeps NumPy input on the HOST (no device
+    upload).  Used by indexes whose device-resident representation is
+    derived (centered/padded copies): holding a redundant device copy of
+    the original doubles HBM use on multi-GB corpora (GIST-1M at 960-d is
+    3.8 GB — the r1 layout kept 4 full copies and OOMed a 16 GB chip).
+    Already-on-device inputs are returned as is (no transfer back)."""
+    if isinstance(points, np.ndarray):
+        _validate_np(points)
+        return np.ascontiguousarray(
+            points.astype(_as_float_dtype(points.dtype), copy=False))
+    return check_points(points)
 
 
 def check_query(point, dim: int, dtype) -> jnp.ndarray:

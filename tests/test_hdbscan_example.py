@@ -38,3 +38,37 @@ def test_mst_separates_clusters(rng):
     weights = sorted(e[2] for e in edges)
     # exactly one bridge edge between the two far clusters
     assert weights[-1] > 10 and weights[-2] < 1
+
+
+def test_core_distances_uses_dual_join(rng):
+    """core_distances is one dual-join program; cross-check vs dense."""
+    pts = rng.normal(size=(700, 4))
+    got = core_distances(pts, 6)
+    d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, np.sort(d, 1)[:, 5], rtol=1e-6)
+
+
+def test_mst_matches_host_oracle_end_to_end(rng):
+    """Device MST (dual join -> MR matrix -> Prim fori_loop) == host
+    O(n^2) Prim: same total weight and same edge-weight multiset
+    (weights are distinct w.p. 1 on random data -> MST unique)."""
+    pts = rng.normal(size=(2000, 3)).astype(np.float32)
+    k = 5
+    edges = mst_edges(pts, k)
+    assert len(edges) == 1999
+    got_w = np.sort([e[2] for e in edges])
+
+    # host oracle: dense f64 mutual reachability + Prim
+    d = np.sqrt(((pts[:, None].astype(np.float64)
+                  - pts[None].astype(np.float64)) ** 2).sum(-1))
+    core = np.sort(d, 1)[:, k - 1]
+    m = np.maximum(d, np.maximum(core[:, None], core[None, :]))
+    np.fill_diagonal(m, 0.0)
+    n = len(m)
+    in_tree = np.zeros(n, bool); in_tree[0] = True
+    best = m[0].copy(); want_w = []
+    for _ in range(n - 1):
+        j = int(np.argmin(np.where(in_tree, np.inf, best)))
+        want_w.append(best[j]); in_tree[j] = True
+        best = np.minimum(best, m[j])
+    np.testing.assert_allclose(got_w, np.sort(want_w), rtol=1e-4)

@@ -91,3 +91,50 @@ def test_device_built_trees_round_trip(rng, tmp_path):
     v.save(tmp_path / "vd.npz")
     v2 = load_index(tmp_path / "vd.npz")
     assert v.query_nearest(q) == v2.query_nearest(q)
+
+
+class TestDynamicRoundTrip:
+    def test_pending_mutations_survive(self, rng, tmp_path):
+        """Save mid-stream (delta + tombstones pending), reload, and the
+        serving state is exact: same live set, same query results, ids
+        keep flowing from the same counter."""
+        from petal_neighbors_tpu import DynamicIndex, load_index
+
+        pts = rng.uniform(0, 1, (300, 3))
+        idx = DynamicIndex(pts, rebuild_threshold=10.0)  # no auto-compact
+        added = idx.add(rng.uniform(0, 1, (40, 3)))
+        idx.remove([3, 7, int(added[0])])
+        p = tmp_path / "dyn.npz"
+        idx.save(p)
+
+        back = load_index(p)
+        assert back.num_points == idx.num_points
+        assert back._next_id == idx._next_id
+        assert back._tombstones == idx._tombstones
+        np.testing.assert_array_equal(back._base_ids, idx._base_ids)
+
+        qs = rng.uniform(0, 1, (16, 3))
+        d0, i0 = idx.query_batch(qs, 7)
+        d1, i1 = back.query_batch(qs, 7)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1))
+        # radius parity too (mixed base/delta/tombstone path)
+        r0 = idx.query_radius(qs[0], 0.4)
+        r1 = back.query_radius(qs[0], 0.4)
+        np.testing.assert_array_equal(r0, r1)
+        # mutation streams continue identically
+        a0 = idx.add(qs[1])
+        a1 = back.add(qs[1])
+        np.testing.assert_array_equal(a0, a1)
+
+    def test_clean_state_round_trip(self, rng, tmp_path):
+        from petal_neighbors_tpu import DynamicIndex, load_index
+
+        pts = rng.uniform(0, 1, (64, 2))
+        idx = DynamicIndex(pts)
+        p = tmp_path / "dyn2.npz"
+        idx.save(p)
+        back = load_index(p)
+        q = rng.uniform(0, 1, 2)
+        np.testing.assert_array_equal(idx.query(q, 5)[0],
+                                      back.query(q, 5)[0])
