@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
-from .topk import merge_topk, nan_to_inf, rescore_exact
+from .topk import (merge_topk, monotone_distances, nan_to_inf,
+                   rescore_exact)
 
 __all__ = ["knn", "radius_mask", "radius_counts", "compact_mask",
            "center_of"]
@@ -160,12 +161,12 @@ def _pallas_eligible(points, queries, k_eff, metric, force=False):
     hard = (type(metric) is Euclidean
             and points.dtype == jnp.float32
             and queries.dtype == jnp.float32
-            and k_eff + RESCORE_SLACK <= 256)
+            and k_eff + RESCORE_SLACK <= 1024)
     if force:
         if not hard:
             raise ValueError(
                 "backend='pallas' requires Euclidean metric, f32 data and "
-                "k <= 248")
+                "k <= 1016")
         return True
     return (hard
             and points.shape[1] > DIRECT_DIM_MAX
@@ -271,8 +272,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                  constant_values=jnp.nan) if qpad else queries
 
     def run(prec: str):
+        # sort_output=False: rescore_exact re-ranks the candidate set, so
+        # the kernel's k-pass extraction sort is pure waste (dominant at
+        # large k); the proof threshold below uses the row MAX instead of
+        # the last column
         rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq,
-                             tn=tn, precision=prec,
+                             tn=tn, precision=prec, sort_output=False,
                              points_split=pts_split, interpret=interpret)
         rd, idx = rd[:q], idx[:q]
         # drop any padded-row ids (possible only when fewer than k_scan
@@ -283,14 +288,15 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
 
     if precision == "highest":
         _, best_rd, best_i = run("highest")
-        return jnp.sqrt(best_rd), best_i
+        return monotone_distances(jnp.sqrt(best_rd)), best_i
 
     rd_a, best_rd, best_i = run(precision)
     # ---- exactness proof for the reduced-precision candidate pass ----
     qn = jnp.sum(queries * queries, axis=-1)
     xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded, 0.0))
     err = 4.0 * PROOF_EPS[precision] * (qn + xn_max)        # (Q,)
-    thr = rd_a[:, -1]                  # (k+slack)-th approx distance
+    # the (k+slack)-th approx distance = working-set max (output unsorted)
+    thr = jnp.max(rd_a, axis=1)
     covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
     # NaN queries (padding) have inf everywhere: treat as covered
     covered = covered | ~jnp.isfinite(best_rd[:, -1])
@@ -302,7 +308,7 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
 
     best_rd, best_i = jax.lax.cond(
         ok, lambda _: (best_rd, best_i), precise, operand=None)
-    return jnp.sqrt(best_rd), best_i
+    return monotone_distances(jnp.sqrt(best_rd)), best_i
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
@@ -386,7 +392,7 @@ def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
     best_i = jnp.where(best_i < n, best_i, -1)
     if do_rescore:
         best_rd, best_i = rescore_exact(points, queries, best_i, k_eff)
-    return metric.rdistance_to_distance(best_rd), best_i
+    return monotone_distances(metric.rdistance_to_distance(best_rd)), best_i
 
 
 def radius_mask(points, queries, radius, metric: Metric | None = None,

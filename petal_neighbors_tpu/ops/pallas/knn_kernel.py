@@ -94,7 +94,7 @@ def _fold_min(state_min, r, col, bd, bi, base, kcol):
 
 def _knn_kernel(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
                 best_d, best_i, *, k: int, tn: int, n_chunks: int,
-                subtile: int, precision: str):
+                subtile: int, precision: str, sort_output: bool):
     """u-domain streaming top-k.  ``subtile`` splits the (tq, tn) tile
     into column blocks with independent extraction loops: per extracted
     candidate the argmin/mask/re-min passes touch only (tq, subtile)
@@ -152,7 +152,14 @@ def _knn_kernel(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
 
     @pl.when(nj == n_chunks - 1)
     def _():
-        od, oi = _sort_working_set(best_d[:], best_i[:], k)
+        if sort_output:
+            od, oi = _sort_working_set(best_d[:], best_i[:], k)
+        else:
+            # serving path: the caller re-scores + re-ranks the candidate
+            # set (rescore_exact is order-insensitive) and only needs the
+            # working-set MAX as its proof threshold — skipping the k-pass
+            # extraction sort makes large k (top-1024) affordable
+            od, oi = best_d[:], best_i[:]
         # u -> squared distance at the boundary; clamp the rounding
         # residue of near-duplicates to keep rdist >= 0
         out_d_ref[:] = jnp.maximum(od + qn_ref[:].T, 0.0)
@@ -199,19 +206,25 @@ def prepare_split(points):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
-                                             "subtile", "precision"))
+                                             "subtile", "precision",
+                                             "sort_output"))
 def knn_pallas(points, queries, point_norms, *, k: int,
                tq: int = 256, tn: int = 4096, interpret: bool = False,
                subtile: int | None = None, precision: str = "highest",
-               points_split=None):
+               points_split=None, sort_output: bool = True):
     """Exact-within-precision k-NN via the fused Pallas kernel
     (squared-Euclidean).
 
     Caller contract: N % tn == 0, Q % tq == 0; ``points``/``point_norms``
     sanitized + padded by ``ops.bruteforce.pad_for_pallas`` (NaN rows
     zeroed with +inf norms — they can never be selected); query padding
-    rows are NaN; f32 inputs; 1 <= k <= 256 (callers cap the scan width
-    at ``k + RESCORE_SLACK <= 256``, see ``_pallas_eligible``).
+    rows are NaN; f32 inputs; 1 <= k <= 1024 (callers cap the scan width
+    at ``k + RESCORE_SLACK <= 1024``, see ``_pallas_eligible``).
+
+    ``sort_output=False`` skips the final per-tile extraction sort and
+    returns the working set UNSORTED — for callers that re-rank anyway
+    (``knn_pallas_prepadded`` rescoring); the k-pass sort is O(k) full
+    working-set passes and dominates at large k.
 
     ``precision`` selects the MXU passes for the score matmul: "highest"
     (6-pass f32-effective), "high" (3-pass bf16x3 from ``points_split``
@@ -226,7 +239,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     n, d = points.shape
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
-    assert 1 <= k <= 256, k
+    assert 1 <= k <= 1024, k
     assert precision in PRECISIONS, precision
     n_chunks = n // tn
     if subtile is None:
@@ -247,7 +260,8 @@ def knn_pallas(points, queries, point_norms, *, k: int,
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_knn_kernel, k=k, tn=tn, n_chunks=n_chunks,
-                               subtile=subtile, precision=precision)
+                               subtile=subtile, precision=precision,
+                               sort_output=sort_output)
 
     grid = (q // tq, n_chunks)
     out_d, out_i = pl.pallas_call(

@@ -15,12 +15,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nan_to_inf", "smallest_k", "merge_topk"]
+__all__ = ["nan_to_inf", "smallest_k", "merge_topk", "monotone_distances"]
 
 
 def nan_to_inf(d):
     """Map NaN distances to +inf (OrderedFloat NaN-is-greatest policy)."""
     return jnp.where(jnp.isnan(d), jnp.inf, d)
+
+
+def monotone_distances(d):
+    """Running max along the last axis: restore the ascending contract
+    after an rd -> distance conversion.
+
+    Results are SORTED in the rdistance domain; TPU's f32 sqrt (and the
+    Minkowski p-th root) is an approximation with 1-2 ulp error and is
+    NOT monotone at the ulp level, so two rds 1-2 ulps apart can convert
+    to *inverted* distances (observed on v5e: sorted rd pair
+    (1152900.75, 1152901.0) -> sqrt (1073.73230, 1073.73218)).  The
+    running max clamps such inversions within the conversion's own error
+    band.  NaN rows (NaN queries) propagate unchanged; +inf tails are
+    fixed points."""
+    d = jnp.asarray(d)
+    return jax.lax.cummax(d, axis=d.ndim - 1)
 
 
 def smallest_k(dists, indices, k: int):

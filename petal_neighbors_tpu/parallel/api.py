@@ -17,7 +17,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..distance import Euclidean, Metric
 from ..ops import bruteforce as bf
-from ..ops.topk import smallest_k
+from ..ops.topk import monotone_distances, smallest_k
 
 __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
            "knn_feature_sharded", "knn_ring", "tree_query_sharded"]
@@ -233,7 +233,7 @@ def knn_feature_sharded(points, queries, k: int,
                 jnp.full((q, k_eff), -1, dtype=jnp.int32))
         bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
         (bd, bi), _ = jax.lax.scan(body, init, (chunks, bases))
-        return jnp.sqrt(bd), bi
+        return monotone_distances(jnp.sqrt(bd)), bi
 
     return run(points, queries)
 

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..distance import DIRECT_DIM_MAX, Euclidean, Metric
-from ..ops.topk import merge_topk, nan_to_inf, rescore_exact
+from ..ops.topk import (merge_topk, monotone_distances, nan_to_inf,
+                        rescore_exact)
 from ..utils.tree_math import TreeShape
 
 __all__ = ["knn_query", "radius_query_mask"]
@@ -195,7 +196,7 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
         best_rd, best_pos = rescore_exact(points_perm, queries, best_pos, k)
 
     best_ii = jnp.where(best_pos >= 0, orig_ids[jnp.maximum(best_pos, 0)], -1)
-    dists = metric.rdistance_to_distance(best_rd)
+    dists = monotone_distances(metric.rdistance_to_distance(best_rd))
     if not with_stats:
         return dists, best_ii
     # observability (SURVEY.md §5): per-query pruning effectiveness

@@ -137,7 +137,7 @@ class BruteForce:
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.num_points)
         if (self._pallas_pts is not None
-                and 1 <= k_eff <= 256 - bf.RESCORE_SLACK):
+                and 1 <= k_eff <= 1024 - bf.RESCORE_SLACK):
             try:
                 # no split planes (over SPLIT_BUDGET_ELEMS): query at
                 # "highest" rather than re-deriving them per call

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..distance import Euclidean, Metric
-from ..ops.topk import merge_topk, nan_to_inf
+from ..ops.topk import merge_topk, monotone_distances, nan_to_inf
 from .ball_query import _bound_slack, _guarded_centroid_dist, _leaf_tables
 
 __all__ = ["dual_tree_knn"]
@@ -144,7 +144,7 @@ def _dual_knn(pts_a, pts_b, ca, ra, cb, rb, orig_b, row_of_pos_a,
     best_rd = best_rd[row_of_pos_a][pos_of_id_a]             # (nA, k)
     best_pp = best_pp[row_of_pos_a][pos_of_id_a]
     ids = jnp.where(best_pp >= 0, orig_b[jnp.maximum(best_pp, 0)], -1)
-    return metric.rdistance_to_distance(best_rd), ids
+    return monotone_distances(metric.rdistance_to_distance(best_rd)), ids
 
 
 def dual_tree_knn(tree_a, tree_b, k: int):

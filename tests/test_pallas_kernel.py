@@ -96,6 +96,50 @@ def test_nan_query_rows_stay_empty(rng):
     assert (i[4] >= 0).all()         # neighbors unaffected
 
 
+def test_unsorted_output_same_working_set(rng):
+    """sort_output=False must return the same candidate SET (and the same
+    max — the proof threshold) as the sorted path."""
+    n, q, d, k = 1024, 128, 64, 37
+    pts = rng.random((n, d)).astype(np.float32) * 100
+    qs = rng.random((q, d)).astype(np.float32) * 100
+    rd_s, i_s = run_kernel(pts, qs, k)
+    rd_u, i_u = run_kernel(pts, qs, k, sort_output=False)
+    for r in range(q):
+        assert set(i_u[r].tolist()) == set(i_s[r].tolist()), r
+    np.testing.assert_allclose(np.max(rd_u, axis=1), rd_s[:, -1], rtol=1e-6)
+
+
+@pytest.mark.parametrize("k", [300, 520])
+def test_large_k_matches_oracle(rng, k):
+    """k beyond the old 256 cap (working set up to 1024)."""
+    n, q, d = 1024, 32, 64
+    pts = rng.random((n, d)).astype(np.float32) * 100
+    qs = rng.random((q, d)).astype(np.float32) * 100
+    rd, i = run_kernel(pts, qs, k, tq=32, sort_output=False)
+    od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
+    for r in range(q):
+        assert set(i[r].tolist()) == set(oi[r].tolist()), r
+
+
+def test_prepadded_large_k_exact(rng):
+    """End-to-end serving path at k > 248 (the old fallback threshold)."""
+    from petal_neighbors_tpu.ops.bruteforce import (
+        center_of, knn_pallas_prepadded, pad_for_pallas)
+    n, q, d, k = 1024, 32, 64, 300
+    pts = (rng.random((n, d)) * 10 + 50).astype(np.float32)
+    qs = (rng.random((q, d)) * 10 + 50).astype(np.float32)
+    mu = center_of(jnp.asarray(pts))
+    pp, pn = pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+    dd, ii = knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                  center=mu, precision="high",
+                                  tq=32, tn=512, interpret=True)
+    od, oi = oracle(pts.astype(np.float64), qs.astype(np.float64), k)
+    ii = np.asarray(ii)
+    for r in range(q):
+        assert set(ii[r].tolist()) == set(oi[r].tolist()), r
+    assert (np.diff(np.asarray(dd), axis=1) >= 0).all()
+
+
 @pytest.mark.parametrize("precision", ["high", "bf16"])
 def test_reduced_precision_candidates(rng, precision):
     """Reduced-precision score passes must still produce a candidate set

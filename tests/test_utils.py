@@ -56,3 +56,24 @@ class TestTreeShapeGeometry:
 
     def test_interned(self):
         assert tree_shape(40, None) is tree_shape(40, None)
+
+
+class TestMonotoneDistances:
+    """TPU's approximate f32 sqrt is not monotone at the ulp level, so
+    sorted-rd -> distance conversions clamp with a running max (observed
+    on v5e: rd pair (1152900.75, 1152901.0) -> sqrt inverted by 2 ulps).
+    CPU sqrt is correctly rounded, so this unit-tests the clamp itself."""
+
+    def test_clamps_ulp_inversion(self):
+        from petal_neighbors_tpu.ops.topk import monotone_distances
+        d = np.array([[1.0, 1073.7323, 1073.7322, 2000.0]], np.float32)
+        out = np.asarray(monotone_distances(d))
+        assert (np.diff(out, axis=1) >= 0).all()
+        np.testing.assert_allclose(out[0, [0, 1, 3]], d[0, [0, 1, 3]])
+
+    def test_nan_and_inf_rows_unchanged(self):
+        from petal_neighbors_tpu.ops.topk import monotone_distances
+        d = np.array([[np.nan, np.nan], [1.0, np.inf]], np.float32)
+        out = np.asarray(monotone_distances(d))
+        assert np.isnan(out[0]).all()
+        np.testing.assert_array_equal(out[1], d[1])
