@@ -84,6 +84,28 @@ def prepare_euclidean_index(points, tn: int, with_split: bool = True):
     split = prepare_split(ppad) if with_split else None
     return mu, ppad, pnorm, split, bad
 
+@partial(jax.jit, static_argnames=("tn", "with_split"))
+def prepare_cosine_index(points, tn: int, with_split: bool = True):
+    """Index-resident artifacts for serving COSINE through the Euclidean
+    kernel: on L2-normalized rows, ``1 − q̂·x̂ = ‖q̂ − x̂‖²/2`` exactly, so
+    the whole fused-kernel machinery (candidate pass, proof, direct-form
+    rescore) applies with a final ``rd/2`` conversion.
+
+    Zero-norm rows normalize to NaN (0/0) — the same NaN-row policy as
+    the reference's division (distance.rs:93-105): zeroed in the padded
+    copy with +inf norms, never selected.  No centering (unit vectors
+    are already data-scale ~1, the matmul form's error is ~eps).
+    """
+    from .pallas.knn_kernel import prepare_split
+
+    norms = jnp.sqrt(jnp.sum(points * points, axis=-1, keepdims=True))
+    unit = points / norms
+    bad = jnp.any(jnp.isnan(unit), axis=-1)
+    ppad, pnorm = pad_for_pallas(unit, tn=tn)
+    split = prepare_split(ppad) if with_split else None
+    return ppad, pnorm, split, bad
+
+
 _fallback_warned = False
 
 
@@ -217,12 +239,14 @@ PROOF_EPS = {"bf16": 2.0 ** -8, "high": 2.0 ** -15}
 
 
 @partial(jax.jit, static_argnames=("k_eff", "n_real", "fast", "precision",
-                                   "tq", "tn", "interpret"))
+                                   "tq", "tn", "interpret", "normalize_q",
+                                   "out_rdist"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          n_real: int, center=None, fast: bool = False,
                          precision: str | None = None,
                          tq: int | None = None, tn: int | None = None,
-                         pts_split=None, interpret: bool = False):
+                         pts_split=None, interpret: bool = False,
+                         normalize_q: bool = False, out_rdist: bool = False):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -256,6 +280,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         pts_split = prepare_split(pts_padded)
     if center is not None:
         queries = queries - center
+    if normalize_q:
+        # cosine-through-the-Euclidean-kernel: the index holds normalized
+        # rows (prepare_cosine_index); zero-norm queries become NaN rows
+        # (the kernel's NaN-query policy: (+inf, -1) results)
+        queries = queries / jnp.sqrt(
+            jnp.sum(queries * queries, axis=-1, keepdims=True))
     dim = pts_padded.shape[1]
     q = queries.shape[0]
     if tq is None:
@@ -286,9 +316,14 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         best_rd, best_i = rescore_exact(pts_padded, queries, idx_ok, k_eff)
         return rd, best_rd, best_i
 
+    def to_out(rd):
+        # rd is ascending; sqrt needs the ulp-inversion clamp, the raw
+        # rdistance domain (cosine callers apply an exact /2) does not
+        return rd if out_rdist else monotone_distances(jnp.sqrt(rd))
+
     if precision == "highest":
         _, best_rd, best_i = run("highest")
-        return monotone_distances(jnp.sqrt(best_rd)), best_i
+        return to_out(best_rd), best_i
 
     rd_a, best_rd, best_i = run(precision)
     # ---- exactness proof for the reduced-precision candidate pass ----
@@ -308,7 +343,7 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
 
     best_rd, best_i = jax.lax.cond(
         ok, lambda _: (best_rd, best_i), precise, operand=None)
-    return monotone_distances(jnp.sqrt(best_rd)), best_i
+    return to_out(best_rd), best_i
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
@@ -397,7 +432,7 @@ def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
 
 def radius_mask(points, queries, radius, metric: Metric | None = None,
                 *, inclusive: bool = True, chunk: int | None = None,
-                invalid=None):
+                invalid=None, amb_cap: int = 128):
     """Boolean membership mask (Q, n): distance-to-query within ``radius``.
 
     ``inclusive=True`` uses ``d <= r``. The reference's single-query leaf
@@ -410,18 +445,38 @@ def radius_mask(points, queries, radius, metric: Metric | None = None,
     by indexes whose resident representation zeroes NaN rows (the padded
     kernel copy): the zeroed coordinates would otherwise produce real
     distances instead of the NaN-never-matches contract.
+
+    High-dim f32 Euclidean corpora take the MXU matmul path with a
+    boundary band (see ``_radius_mask_matmul_jit``); in the
+    astronomically rare case that more than ``amb_cap`` points per query
+    land inside the ±err band around the radius, it falls back to the
+    direct path (one extra dispatch; a warning is raised).
     """
     metric = metric or Euclidean()
     points = jnp.asarray(points)
     queries = jnp.asarray(queries)
-    c = _pick_chunk(points.shape[0], queries.shape[0], points.shape[1],
-                    chunk, direct=isinstance(metric, Euclidean))
+    n, dim = points.shape
     if invalid is None:
-        invalid = jnp.zeros((points.shape[0],), dtype=bool)
-    return _radius_mask_jit(points, queries,
-                            jnp.asarray(radius, dtype=points.dtype),
-                            invalid, metric=metric, inclusive=inclusive,
-                            chunk=c)
+        invalid = jnp.zeros((n,), dtype=bool)
+    r = jnp.asarray(radius, dtype=points.dtype)
+    if (isinstance(metric, Euclidean) and dim > DIRECT_DIM_MAX
+            and n >= 4096 and points.dtype == jnp.float32
+            and queries.dtype == jnp.float32):
+        c = _pick_chunk(n, queries.shape[0], dim, chunk, direct=False)
+        mask, overflow = _radius_mask_matmul_jit(
+            points, queries, metric.distance_to_rdistance(r), invalid,
+            inclusive=inclusive, chunk=c, cap=min(amb_cap, c))
+        if not bool(overflow):
+            return mask
+        warnings.warn(
+            f"radius_mask: > {amb_cap} points per query within the "
+            "matmul-form error band of the radius; re-running the direct "
+            "path for exact boundary decisions", RuntimeWarning,
+            stacklevel=2)
+    c = _pick_chunk(n, queries.shape[0], dim, chunk,
+                    direct=isinstance(metric, Euclidean))
+    return _radius_mask_jit(points, queries, r, invalid, metric=metric,
+                            inclusive=inclusive, chunk=c)
 
 
 @partial(jax.jit, static_argnames=("metric", "inclusive", "chunk"))
@@ -458,6 +513,116 @@ def _radius_mask_jit(points, queries, radius, invalid, *, metric, inclusive,
     _, masks = jax.lax.scan(body, None, (chunks, inv_chunks, bases))
     # (n_chunks, q, c) -> (q, n)
     return jnp.moveaxis(masks, 0, 1).reshape(q, n_pad)[:, :n]
+
+
+# Pointwise |matmul_rd − direct_rd| bound factor for the f32-HIGHEST
+# ``qn + xn − 2q·x`` form: term rounding plus dot-product accumulation.
+# 2^-20 is ~16x the bare f32 eps, covering dim-proportional accumulation
+# at any practical dim; the band it defines around the radius is what
+# the direct-form rescore must re-decide.
+RADIUS_EPS = 2.0 ** -20
+
+
+@partial(jax.jit, static_argnames=("inclusive", "chunk", "cap"))
+def _radius_mask_matmul_jit(points, queries, rr, invalid, *, inclusive,
+                            chunk, cap):
+    """High-dim Euclidean radius membership via the MXU matmul form.
+
+    The direct path materializes a (Q, c, dim) difference tensor — at
+    960-d that is ~dim× the HBM traffic of a matmul, throttling GIST-1M
+    radius sweeps to seconds per batch.  Here each chunk costs one
+    HIGHEST-precision matmul; membership is decided in three bands:
+
+      rd_m <  rr − err   certain IN  (true rd ≤ rd_m + err < rr, so the
+                         decision holds under BOTH boundary rules)
+      rd_m >  rr + err   certain OUT (true rd ≥ rd_m − err > rr)
+      otherwise          ambiguous — collected (≤ ``cap`` ids/query) and
+                         re-decided with the direct (q−x)² form
+
+    err = 4·RADIUS_EPS·(‖q‖² + max‖x‖²); callers pass CENTERED data so
+    the band stays ~1e-5 of the data scale (uncentered data only inflates
+    the band → more rescoring / overflow fallback, never wrong results).
+    Returns (mask (Q, n) bool, overflow bool) — ``overflow`` means some
+    query exceeded ``cap`` ambiguous ids and the caller must re-run the
+    direct path.
+    """
+    n, dim = points.shape
+    q = queries.shape[0]
+    qn = jnp.sum(queries * queries, axis=-1)                   # (q,)
+    xn = jnp.sum(points * points, axis=-1)                     # (n,)
+    # NaN-row norms are NaN — they must not poison the error band (their
+    # rd is NaN -> +inf -> certain-out regardless)
+    xn_max = jnp.max(jnp.where(invalid | ~jnp.isfinite(xn), 0.0, xn))
+    err = 4.0 * RADIUS_EPS * (qn + xn_max)                     # (q,)
+
+    c = chunk
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+    if n_pad != n:
+        points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+        invalid = jnp.pad(invalid, (0, n_pad - n), constant_values=True)
+        xn = jnp.pad(xn, (0, n_pad - n))
+    chunks = points.reshape(n_chunks, c, dim)
+    xn_chunks = xn.reshape(n_chunks, c)
+    inv_chunks = invalid.reshape(n_chunks, c)
+    col = jnp.arange(c, dtype=jnp.int32)
+    slot = jnp.arange(2 * cap, dtype=jnp.int32)
+
+    def body(carry, chunk_in):
+        ids, count = carry
+        pts, xn_c, inv, base = chunk_in
+        cross = jnp.dot(queries, pts.T,
+                        precision=jax.lax.Precision.HIGHEST)
+        rd = nan_to_inf(qn[:, None] + xn_c[None, :] - 2.0 * cross)
+        ok = ((base + col)[None, :] < n) & ~inv[None, :]
+        sure = (rd < rr - err[:, None]) & ok
+        amb = ~sure & (rd <= rr + err[:, None]) & ok
+        # chunk-local compaction: first `cap` ambiguous columns
+        vals, _ = jax.lax.top_k(jnp.where(amb, -col, -(c + 1)), cap)
+        ids_c = jnp.where(vals > -(c + 1), base - vals, n)     # sentinel n
+        # order-preserving merge with the carried list
+        allids = jnp.concatenate([ids, ids_c], axis=1)         # (q, 2cap)
+        key = jnp.where(allids < n, slot, 2 * cap + 1)
+        _, pos = jax.lax.top_k(-key, cap)
+        ids = jnp.take_along_axis(allids, pos, axis=1)
+        count = count + jnp.sum(amb, axis=1, dtype=jnp.int32)
+        return (ids, count), sure
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * c
+    init = (jnp.full((q, cap), n, dtype=jnp.int32),
+            jnp.zeros((q,), dtype=jnp.int32))
+    (amb_ids, amb_count), sure = jax.lax.scan(
+        body, init, (chunks, xn_chunks, inv_chunks, bases))
+    mask = jnp.moveaxis(sure, 0, 1).reshape(q, n_pad)[:, :n]
+
+    member = _amb_rescore(points, queries, amb_ids, rr, inclusive, n)
+    rows = jnp.arange(q, dtype=jnp.int32)[:, None]
+    mask = mask.at[rows, jnp.minimum(amb_ids, n - 1)].max(member)
+    return mask, jnp.any(amb_count > cap)
+
+
+def _amb_rescore(points, queries, ids, rr, inclusive, n: int):
+    """Direct-form membership for the ambiguous ids, chunked over query
+    blocks so the (qb, cap, dim) gather stays ~tens of MB."""
+    q, cap = ids.shape
+    dim = queries.shape[1]
+    qb = min(128, q)
+    nb = -(-q // qb)
+    qpad = nb * qb - q
+    ids_b = jnp.pad(ids, ((0, qpad), (0, 0)),
+                    constant_values=n).reshape(nb, qb, cap)
+    qs_b = jnp.pad(queries, ((0, qpad), (0, 0))).reshape(nb, qb, dim)
+
+    def body(_, xs):
+        idb, qsb = xs
+        ok = idb < n
+        cand = points[jnp.where(ok, idb, 0)]                  # (qb, cap, d)
+        rd = nan_to_inf(jnp.sum((qsb[:, None, :] - cand) ** 2, axis=-1))
+        mem = (rd <= rr) if inclusive else (rd < rr)
+        return None, mem & ok
+
+    _, mem = jax.lax.scan(body, None, (ids_b, qs_b))
+    return mem.reshape(nb * qb, cap)[:q]
 
 
 def radius_counts(mask):

@@ -43,12 +43,31 @@ class BruteForce:
         # corpus per query call costs an extra full-index HBM copy)
         self._pallas_pts = self._pallas_norms = self._pallas_split = None
         self._invalid = None
-        from ..distance import DIRECT_DIM_MAX
+        #: cosine-through-the-Euclidean-kernel mode: the resident copy is
+        #: L2-NORMALIZED (cosine distance = ‖q̂−x̂‖²/2 exactly), queries
+        #: normalize inside the fused program, distances convert by /2.
+        #: The XLA/radius fallbacks run Cosine.rdist on the normalized
+        #: copy unchanged (cosine is scale-invariant; zeroed NaN/zero-norm
+        #: rows give NaN -> +inf there, plus the invalid mask).
+        self._cosine_kernel = False
+        from ..distance import DIRECT_DIM_MAX, Cosine
         probe = check_points_host(points)
         self.metric.validate_dim(probe.shape[1])
         high_dim = probe.shape[1] > DIRECT_DIM_MAX
         pallas_ok = bf._pallas_eligible(probe, probe[:1], 1, self.metric)
-        if isinstance(self.metric, Euclidean) and high_dim and pallas_ok:
+        cosine_kernel_ok = (
+            type(self.metric) is Cosine and high_dim
+            and bf._pallas_eligible(probe, probe[:1], 1, Euclidean()))
+        if cosine_kernel_ok:
+            self.points = probe                    # public, original data
+            n, d = probe.shape
+            with_split = n * d <= self.SPLIT_BUDGET_ELEMS
+            (self._pallas_pts, self._pallas_norms, self._pallas_split,
+             self._invalid) = bf.prepare_cosine_index(
+                probe, bf.pallas_tile_n(d), with_split=with_split)
+            self._qpoints = None                   # lazy: _pallas_pts[:n]
+            self._cosine_kernel = True
+        elif isinstance(self.metric, Euclidean) and high_dim and pallas_ok:
             # HBM discipline for multi-GB corpora: the original stays on
             # host; only DERIVED device arrays are resident (padded
             # centered points + norms [+ bf16 planes under budget]); the
@@ -145,7 +164,13 @@ class BruteForce:
                 d, i = bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
                     k_eff, self.num_points, self._center,
-                    precision=prec, pts_split=self._pallas_split)
+                    precision=prec, pts_split=self._pallas_split,
+                    normalize_q=self._cosine_kernel,
+                    out_rdist=self._cosine_kernel)
+                if self._cosine_kernel:
+                    # ‖q̂−x̂‖²/2 == 1 − q̂·x̂ (exact algebra; /2 is a
+                    # monotone exact f32 op, ascending preserved)
+                    d = d * 0.5
                 self.last_backend = "pallas"
                 return d, i
             except Exception as exc:

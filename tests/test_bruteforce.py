@@ -219,3 +219,158 @@ def test_sqeuclidean_never_takes_pallas_path(rng, monkeypatch):
                                    SqEuclidean())
     assert bf._pallas_eligible(jnp.asarray(pts), jnp.asarray(qs), 5,
                                bf.Euclidean())
+
+
+class TestRadiusMatmulPath:
+    """High-dim f32 Euclidean radius membership via the MXU matmul form
+    with a boundary band + direct-form rescore (exactness invariant:
+    boundary decisions must match the direct path bit-for-bit)."""
+
+    def _mk(self, rng, n=5000, dim=64, q=24):
+        pts = ((rng.random((n, dim)) - 0.5) * 10).astype(np.float32)
+        qs = ((rng.random((q, dim)) - 0.5) * 10).astype(np.float32)
+        return pts, qs
+
+    def _direct(self, pts, qs, r, inclusive):
+        import jax.numpy as jnp
+        inv = jnp.zeros((pts.shape[0],), dtype=bool)
+        return np.asarray(bf._radius_mask_jit(
+            jnp.asarray(pts), jnp.asarray(qs),
+            jnp.asarray(r, dtype=np.float32), inv,
+            metric=Euclidean(), inclusive=inclusive, chunk=1024))
+
+    @pytest.mark.parametrize("inclusive", [True, False])
+    def test_matches_direct_path(self, rng, inclusive):
+        pts, qs = self._mk(rng)
+        r = 11.0          # a radius with real membership at this scale
+        fast = np.asarray(bf.radius_mask(pts, qs, r, inclusive=inclusive))
+        np.testing.assert_array_equal(fast,
+                                      self._direct(pts, qs, r, inclusive))
+
+    def test_boundary_exact_points(self, rng):
+        """Points at exactly distance r flip between inclusive/strict —
+        the matmul band must hand them to the direct rescore."""
+        pts, qs = self._mk(rng)
+        r = np.float32(2.0)
+        # exact-boundary points for query 0: r * e_j (q[0] pinned to 0)
+        qs[0] = 0.0
+        for j in range(5):
+            pts[j] = 0.0
+            pts[j, j] = r
+        incl = np.asarray(bf.radius_mask(pts, qs, r, inclusive=True))
+        strict = np.asarray(bf.radius_mask(pts, qs, r, inclusive=False))
+        assert incl[0, :5].all()
+        assert not strict[0, :5].any()
+
+    def test_nan_rows_never_match(self, rng):
+        pts, qs = self._mk(rng)
+        pts[3] = np.nan
+        pts[7, 0] = np.nan
+        mask = np.asarray(bf.radius_mask(pts, qs, 50.0))
+        assert not mask[:, 3].any() and not mask[:, 7].any()
+        assert mask.sum() > 0
+
+    def test_overflow_falls_back_to_direct(self, rng):
+        """More boundary-band points than amb_cap: warns, re-runs the
+        direct path, stays exact."""
+        pts, qs = self._mk(rng)
+        r = np.float32(3.0)
+        qs[0] = 0.0
+        for j in range(40):     # 40 points at exactly distance r
+            pts[j] = 0.0
+            pts[j, j % 64] = r
+        with pytest.warns(RuntimeWarning, match="error band"):
+            fast = np.asarray(bf.radius_mask(pts, qs, r, amb_cap=16))
+        np.testing.assert_array_equal(fast, self._direct(pts, qs, r, True))
+        assert fast[0, :40].all()
+
+    def test_counts_and_compact_agree(self, rng):
+        """Downstream ops (counts, capped compaction) over the matmul-path
+        mask match the direct path."""
+        pts, qs = self._mk(rng)
+        fast = bf.radius_mask(pts, qs, 11.0)
+        direct = self._direct(pts, qs, 11.0, True)
+        np.testing.assert_array_equal(np.asarray(bf.radius_counts(fast)),
+                                      direct.sum(1).astype(np.int32))
+
+
+class TestCosineKernelMode:
+    """Cosine served through the Euclidean fused kernel: on normalized
+    rows, 1 − q̂·x̂ == ‖q̂−x̂‖²/2 exactly, so candidates + proof + rescore
+    all reuse the Euclidean machinery with a final /2."""
+
+    def _oracle(self, pts, qs, k):
+        p = pts.astype(np.float64)
+        q = qs.astype(np.float64)
+        pn = np.linalg.norm(p, axis=1, keepdims=True)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        d = 1.0 - (q / qn) @ (p / pn).T
+        d = np.where(np.isnan(d), np.inf, d)
+        oi = np.argsort(d, axis=1, kind="stable")[:, :k]
+        return np.sort(d, axis=1)[:, :k], oi
+
+    def test_prepadded_cosine_exact(self, rng):
+        pts = (rng.random((1024, 64)) * 4 - 2).astype(np.float32)
+        qs = (rng.random((64, 64)) * 4 - 2).astype(np.float32)
+        k = 10
+        import jax.numpy as jnp
+        pp, pn, split, bad = bf.prepare_cosine_index(jnp.asarray(pts), 512)
+        rd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, 1024,
+                                         precision="high", pts_split=split,
+                                         tq=64, tn=512, interpret=True,
+                                         normalize_q=True, out_rdist=True)
+        d = np.asarray(rd) * 0.5
+        od, oi = self._oracle(pts, qs, k)
+        ii = np.asarray(ii)
+        for r in range(len(qs)):
+            assert set(ii[r].tolist()) == set(oi[r].tolist()), r
+        np.testing.assert_allclose(d, od, atol=2e-6)
+        assert (np.diff(d, axis=1) >= 0).all()
+
+    def test_class_end_to_end(self, rng, monkeypatch):
+        """BruteForce(., Cosine()) kernel mode: exact, NaN and zero-norm
+        rows excluded, served by the pallas backend."""
+        from functools import partial
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        monkeypatch.setattr(
+            bf, "knn_pallas_prepadded",
+            partial(bf.knn_pallas_prepadded.__wrapped__, interpret=True))
+        pts = (rng.random((4608, 40)) * 4 - 2).astype(np.float32)
+        pts[5] = 0.0                      # zero norm -> NaN -> farthest
+        pts[9, 0] = np.nan
+        qs = (rng.random((32, 40)) * 4 - 2).astype(np.float32)
+        from petal_neighbors_tpu.distance import Cosine
+        idx = BruteForce(pts, Cosine())
+        assert idx._cosine_kernel
+        d, i = idx.query_batch(qs, 5)
+        assert idx.last_backend == "pallas"
+        i = np.asarray(i)
+        assert not np.isin(i, [5, 9]).any()
+        od, oi = self._oracle(pts, qs, 5)
+        for r in range(len(qs)):
+            assert set(i[r].tolist()) == set(oi[r].tolist()), r
+        np.testing.assert_allclose(np.asarray(d), od, atol=2e-6)
+
+    def test_xla_fallback_agrees(self, rng, monkeypatch):
+        """The class's XLA fallback on the normalized resident copy must
+        return the same results as the kernel path (scale invariance)."""
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        pts = (rng.random((4608, 40)) * 4 - 2).astype(np.float32)
+        qs = (rng.random((16, 40)) * 4 - 2).astype(np.float32)
+        from petal_neighbors_tpu.distance import Cosine
+        idx = BruteForce(pts, Cosine())        # kernel mode resident
+        assert idx._cosine_kernel
+
+        def boom(*a, **kw):
+            raise RuntimeError("forced")
+
+        monkeypatch.setattr(bf, "knn_pallas_prepadded", boom)
+        bf._fallback_warned = True             # silence, tested elsewhere
+        d_xla, i_xla = idx.query_batch(qs, 5)  # falls back
+        assert idx.last_backend == "xla"
+        od, oi = self._oracle(pts, qs, 5)
+        for r in range(len(qs)):
+            assert set(np.asarray(i_xla)[r].tolist()) == set(oi[r].tolist())
+        np.testing.assert_allclose(np.asarray(d_xla), od, atol=2e-6)
