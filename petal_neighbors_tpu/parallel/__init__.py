@@ -24,6 +24,8 @@ from .api import (
     knn_points_sharded,
     knn_query_sharded,
     knn_ring,
+    radius_points_sharded,
+    radius_query_sharded,
     tree_query_sharded,
 )
 
@@ -35,4 +37,6 @@ __all__ = [
     "knn_feature_sharded",
     "knn_ring",
     "tree_query_sharded",
+    "radius_query_sharded",
+    "radius_points_sharded",
 ]

@@ -20,7 +20,8 @@ from ..ops import bruteforce as bf
 from ..ops.topk import monotone_distances, smallest_k
 
 __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
-           "knn_feature_sharded", "knn_ring", "tree_query_sharded"]
+           "knn_feature_sharded", "knn_ring", "tree_query_sharded",
+           "radius_query_sharded", "radius_points_sharded"]
 
 
 def init_distributed(**kwargs) -> None:
@@ -129,6 +130,49 @@ def tree_query_sharded(tree, queries, k: int, *, mesh: Mesh,
     return d[: queries.shape[0]], i[: queries.shape[0]]
 
 
+def radius_query_sharded(points, queries, radius,
+                         metric: Metric | None = None, *, mesh: Mesh,
+                         axis: str = "shards", cap: int | None = None,
+                         inclusive: bool = True):
+    """Query-DP radius search: queries sharded, points replicated.
+
+    ``cap=None`` returns per-query neighbor COUNTS (the DBSCAN minPts
+    core test); with ``cap`` returns ``(ids (Q, cap), counts)`` — ids
+    ascending, -1 padded, counts exact past the cap (the masked-segment
+    scheme, SURVEY.md §7).  No collectives — each device answers its own
+    query shard.
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    nd = mesh.shape[axis]
+    qpad = _pad_rows_nan(queries, nd)    # NaN queries match nothing
+    r = jnp.asarray(radius, dtype=points.dtype)
+    c = bf._pick_chunk(points.shape[0], qpad.shape[0] // nd,
+                       points.shape[1], None,
+                       direct=isinstance(metric, Euclidean))
+    inv = jnp.zeros((points.shape[0],), dtype=bool)
+    out_specs = P(axis) if cap is None else (P(axis), P(axis))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(axis)), out_specs=out_specs)
+    def run(pts, qs):
+        # the direct-form path (trace-safe — the matmul-band wrapper's
+        # overflow fallback is a host-side decision)
+        mask = bf._radius_mask_jit(pts, qs, r, inv, metric=metric,
+                                   inclusive=inclusive, chunk=c)
+        if cap is None:
+            return bf.radius_counts(mask)
+        return bf.compact_mask(mask, cap)
+
+    out = run(points, qpad)
+    nq = queries.shape[0]
+    if cap is None:
+        return out[:nq]
+    return out[0][:nq], out[1][:nq]
+
+
 # ---------------------------------------------------------------------------
 # scheme 2: point sharding — points sharded, queries replicated
 # ---------------------------------------------------------------------------
@@ -167,6 +211,62 @@ def knn_points_sharded(points, queries, k: int, metric: Metric | None = None,
         flat_d = jnp.moveaxis(all_d, 0, 1).reshape(q, nd * k_local)
         flat_i = jnp.moveaxis(all_i, 0, 1).reshape(q, nd * k_local)
         return smallest_k(flat_d, flat_i, k_eff)
+
+    return run(ppad, queries)
+
+
+def radius_points_sharded(points, queries, radius,
+                          metric: Metric | None = None, *, mesh: Mesh,
+                          axis: str = "shards", cap: int | None = None,
+                          inclusive: bool = True):
+    """Points row-sharded radius search: each device scans its point
+    shard; counts combine with a ``psum`` over ICI.  With ``cap``, local
+    capped id lists (global ids) are ``all_gather``-ed and re-compacted
+    to the first ``cap`` ids in ascending global order — identical
+    output contract to the single-device ``compact_mask``.
+
+    Index memory per chip = n/P rows: the > HBM radius/DBSCAN scheme.
+    """
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n = points.shape[0]
+    nd = mesh.shape[axis]
+    ppad = _pad_rows_nan(points, nd)     # NaN rows never match
+    rows = ppad.shape[0] // nd
+    r = jnp.asarray(radius, dtype=points.dtype)
+    c = bf._pick_chunk(rows, queries.shape[0], points.shape[1], None,
+                       direct=isinstance(metric, Euclidean))
+    inv = jnp.zeros((rows,), dtype=bool)
+    cap_local = None if cap is None else min(cap, rows)
+    out_specs = P() if cap is None else (P(), P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis), P()), out_specs=out_specs)
+    def run(pts_shard, qs):
+        base = jax.lax.axis_index(axis) * rows
+        mask = bf._radius_mask_jit(pts_shard, qs, r, inv, metric=metric,
+                                   inclusive=inclusive, chunk=c)
+        counts = jax.lax.psum(bf.radius_counts(mask), axis)
+        if cap is None:
+            return counts
+        ids_l, _ = bf.compact_mask(mask, cap_local)
+        gids = jnp.where(ids_l >= 0, ids_l + base, n + 1)
+        all_ids = jax.lax.all_gather(gids, axis)       # (P, Q, cap_local)
+        q = qs.shape[0]
+        flat = jnp.moveaxis(all_ids, 0, 1).reshape(q, nd * cap_local)
+        # first `cap` valid ids in ascending global order (compact_mask
+        # contract); top_k of the negated ids picks the smallest
+        vals, _ = jax.lax.top_k(-flat, min(cap, flat.shape[1]))
+        ids = -vals
+        valid = (jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
+                 < counts[:, None]) & (ids <= n)
+        ids = jnp.where(valid, ids, -1)
+        if cap > ids.shape[1]:
+            ids = jnp.pad(ids, ((0, 0), (0, cap - ids.shape[1])),
+                          constant_values=-1)
+        return ids, counts
 
     return run(ppad, queries)
 

@@ -116,3 +116,73 @@ class TestFeatureSharded:
             parallel.knn_feature_sharded(
                 rng.uniform(0, 1, (10, 4)), rng.uniform(0, 1, (2, 4)), 2,
                 Cosine(), mesh=mesh1d)
+
+
+class TestRadiusSharded:
+    """Sharded radius search (DBSCAN at mesh scale): counts and capped
+    ids must match the single-device dense mask on every scheme."""
+
+    def _data(self, rng, n=700, dim=5, q=37):
+        pts = rng.standard_normal((n, dim)).astype(np.float32)
+        qs = rng.standard_normal((q, dim)).astype(np.float32)
+        return pts, qs
+
+    def _dense(self, pts, qs, r):
+        return np.asarray(bf.radius_mask(pts, qs, r))
+
+    def test_query_dp_counts(self, rng, mesh1d):
+        pts, qs = self._data(rng)
+        cnt = parallel.radius_query_sharded(pts, qs, 1.1, mesh=mesh1d)
+        want = self._dense(pts, qs, 1.1).sum(1)
+        np.testing.assert_array_equal(np.asarray(cnt), want)
+
+    def test_query_dp_capped_ids(self, rng, mesh1d):
+        pts, qs = self._data(rng)
+        ids, cnt = parallel.radius_query_sharded(pts, qs, 1.1, mesh=mesh1d,
+                                                 cap=64)
+        dense = self._dense(pts, qs, 1.1)
+        want_ids, want_cnt = (np.asarray(x)
+                              for x in bf.compact_mask(dense, 64))
+        np.testing.assert_array_equal(np.asarray(ids), want_ids)
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+
+    def test_points_sharded_counts(self, rng, mesh1d):
+        pts, qs = self._data(rng, n=701)    # uneven shards (NaN padding)
+        cnt = parallel.radius_points_sharded(pts, qs, 1.1, mesh=mesh1d)
+        want = self._dense(pts, qs, 1.1).sum(1)
+        np.testing.assert_array_equal(np.asarray(cnt), want)
+
+    def test_points_sharded_capped_ids(self, rng, mesh1d):
+        pts, qs = self._data(rng, n=701)
+        ids, cnt = parallel.radius_points_sharded(pts, qs, 1.1,
+                                                  mesh=mesh1d, cap=64)
+        dense = self._dense(pts, qs, 1.1)
+        want_ids, want_cnt = (np.asarray(x)
+                              for x in bf.compact_mask(dense, 64))
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(ids), want_ids)
+
+    def test_points_sharded_cap_spans_shards(self, rng, mesh1d):
+        """cap larger than one shard's member count: the first-cap-per-
+        shard union must still realize the global first-cap contract."""
+        pts, qs = self._data(rng, n=640)
+        r = 4.0                              # nearly everything matches
+        ids, cnt = parallel.radius_points_sharded(pts, qs, r, mesh=mesh1d,
+                                                  cap=200)
+        dense = self._dense(pts, qs, r)
+        want_ids, want_cnt = (np.asarray(x)
+                              for x in bf.compact_mask(dense, 200))
+        np.testing.assert_array_equal(np.asarray(ids), want_ids)
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+
+    def test_nan_query_and_strict_boundary(self, rng, mesh1d):
+        pts, qs = self._data(rng)
+        qs[2] = np.nan                       # NaN query: empty result
+        pts[5] = qs[0]                       # exact-boundary at r=0
+        cnt_in = parallel.radius_query_sharded(pts, qs, 0.0, mesh=mesh1d,
+                                               inclusive=True)
+        cnt_st = parallel.radius_query_sharded(pts, qs, 0.0, mesh=mesh1d,
+                                               inclusive=False)
+        assert np.asarray(cnt_in)[0] >= 1    # self at distance 0
+        assert np.asarray(cnt_st)[0] == 0    # strict d < 0 matches nothing
+        assert np.asarray(cnt_in)[2] == 0
