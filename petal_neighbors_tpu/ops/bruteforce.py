@@ -288,14 +288,17 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
             jnp.sum(queries * queries, axis=-1, keepdims=True))
     dim = pts_padded.shape[1]
     q = queries.shape[0]
+    k_scan = min(k_eff + RESCORE_SLACK, n_real)
     if tq is None:
-        # 256 measured best across precisions on the 1M x 128 headline;
-        # small batches shouldn't pad to a full query tile (the matmul
+        # 256 measured best at small k on the 1M x 128 headline; at
+        # k > 128 the per-extraction working-set passes scale with tq·k
+        # and tq=128 wins (k=264: 10.1k vs 6.8k QPS — round-2 sweep).
+        # Small batches shouldn't pad to a full query tile (the matmul
         # cost scales with tq); 8 is the f32 sublane granule
-        tq = 256 if q >= 256 else -(-q // 8) * 8
+        base_tq = 256 if k_scan <= 128 else 128
+        tq = base_tq if q >= base_tq else -(-q // 8) * 8
     if tn is None:
         tn = pallas_tile_n(dim)      # must match the pad_for_pallas tn
-    k_scan = min(k_eff + RESCORE_SLACK, n_real)
 
     qpad = (-q) % tq
     qs = jnp.pad(queries, ((0, qpad), (0, 0)),

@@ -184,15 +184,18 @@ def _sort_working_set(bd, bi, k: int):
 
 
 def default_subtile(k: int, tn: int) -> int:
-    """Extraction sub-tile width: whole-tile loops win for small working
-    sets (few extractions, measured tq=512/tn=2048: 36.6k vs 27.9k QPS at
-    k=18 for subtile=128); at large k the ~k·ln(chunks) extractions make
-    narrow sub-tiles pay."""
-    if k <= 32:
+    """Extraction sub-tile width, set from the measured sweep (SIFT-1M,
+    tn=4096, "high" precision — BENCH_NOTES round-2 tuning table):
+    whole-tile loops win through k ~ 150 (k=108: 17.4-18.3k QPS at
+    sub=4096 vs 15.5k at 1024); above that, HALF-tile is the optimum at
+    every measured k (k=264: 10.2k at 2048 vs 5.3k at 256; k=520: 6.0k;
+    k=1008: 3.2k vs 1.1k under the old tn//16 rule).  Narrow sub-tiles
+    lose at large k because each extraction's argmax/select over the
+    (tq, k) working set dominates — wide sub-tiles amortize more
+    candidates per threshold hit."""
+    if k <= 150:
         return tn
-    if k <= 96:
-        return max(512, tn // 4)
-    return max(128, tn // 16)
+    return max(128, tn // 2)
 
 
 def prepare_split(points):

@@ -132,3 +132,42 @@ def test_k_contracts(data, k):
         dd = np.asarray(dd)
         assert (np.diff(dd, axis=1) >= 0).all()
         assert (np.asarray(ii) >= 0).all() and (np.asarray(ii) < len(pts)).all()
+
+
+@given(data=corpus(min_n=2), k=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_cosine_indexes_agree(data, k):
+    """Cosine: BruteForce and BallTree return the same distance multiset
+    (scale-invariant metric; zero-norm rows sort farthest)."""
+    pts, qs = data
+    d_bf, _ = BruteForce(pts, "cosine").query_batch(qs, k)
+    d_bt, _ = BallTree(pts, "cosine").query_batch(qs, k)
+    np.testing.assert_allclose(np.asarray(d_bt), np.asarray(d_bf),
+                               rtol=1e-9, atol=1e-12)
+
+
+@given(data=corpus(min_n=6, max_n=32), n_add=st.integers(0, 6),
+       n_del=st.integers(0, 4), k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_dynamic_index_matches_rebuild(data, n_add, n_del, k):
+    """A mutated DynamicIndex answers exactly like an index rebuilt from
+    the surviving rows (the LSM segments + tombstones are invisible)."""
+    from petal_neighbors_tpu import DynamicIndex
+    pts, qs = data
+    rng = np.random.default_rng(0)
+    extra = rng.random((n_add, pts.shape[1])) * 2 - 1
+    dyn = DynamicIndex(pts)
+    ids = dyn.add(extra) if n_add else []
+    removed = []
+    if n_del:
+        victims = list(range(0, min(n_del, len(pts))))
+        dyn.remove(victims)
+        removed = victims
+    alive = np.concatenate(
+        [np.delete(pts, removed, axis=0)] + ([extra] if n_add else []))
+    if len(alive) == 0:
+        return
+    d_dyn, _ = dyn.query_batch(qs, k)
+    d_ref, _ = BruteForce(alive, "euclidean").query_batch(qs, k)
+    np.testing.assert_allclose(np.asarray(d_dyn), np.asarray(d_ref),
+                               rtol=1e-9, atol=1e-12)
