@@ -40,7 +40,13 @@ def optics(points, eps: float, min_samples: int, *, batch: int = 4096,
     priority queue breaks reachability ties by id — a fixed total order,
     so results are reproducible bit-for-bit given the index's distances.
     Neighborhood semantics are the BallTree radius rules (the
-    reference's exact boundary behavior, ball_tree.rs:271-277).
+    reference's exact boundary behavior, ball_tree.rs:271-277): a
+    neighbor at EXACTLY distance eps can be present or absent from the
+    expansion lists depending on which tree path reached it, while the
+    core test below is uniformly inclusive (k-th distance <= eps) —
+    boundary-exact data can therefore deviate from the
+    uniform-inclusive-neighborhood OPTICS formulation by that one pair
+    (continuous data never hits the boundary exactly).
     """
     from petal_neighbors_tpu import BallTree
 

@@ -80,7 +80,9 @@ def prepare_euclidean_index(points, tn: int, with_split: bool = True):
     mu = center_of(points)
     qpts = points - mu
     bad = jnp.any(jnp.isnan(points), axis=-1)
-    ppad, pnorm = pad_for_pallas(qpts, tn=tn)
+    # pass `bad` down: NaN positions are identical in the centered copy
+    # (mu is finite), and the full-corpus isnan sweep is an HBM pass
+    ppad, pnorm = pad_for_pallas(qpts, tn=tn, bad=bad)
     split = prepare_split(ppad) if with_split else None
     return mu, ppad, pnorm, split, bad
 
@@ -101,7 +103,7 @@ def prepare_cosine_index(points, tn: int, with_split: bool = True):
     norms = jnp.sqrt(jnp.sum(points * points, axis=-1, keepdims=True))
     unit = points / norms
     bad = jnp.any(jnp.isnan(unit), axis=-1)
-    ppad, pnorm = pad_for_pallas(unit, tn=tn)
+    ppad, pnorm = pad_for_pallas(unit, tn=tn, bad=bad)
     split = prepare_split(ppad) if with_split else None
     return ppad, pnorm, split, bad
 
@@ -129,7 +131,7 @@ def warn_pallas_fallback(exc: Exception) -> None:
 def knn(points, queries, k: int, metric: Metric | None = None,
         *, chunk: int | None = None, point_norms=None,
         rescore: bool = True, backend: str = "auto",
-        assume_centered: bool = False):
+        assume_centered: bool = False, invalid=None):
     """Public wrapper: resolves defaults, then dispatches to one jitted
     computation (a single device round-trip — essential when the device
     sits behind a network tunnel).
@@ -157,11 +159,20 @@ def knn(points, queries, k: int, metric: Metric | None = None,
         points = points - mu
         queries = queries - mu
         point_norms = None          # norms of the uncentered data are wrong
-    if backend != "xla" and _pallas_eligible(points, queries, k_eff, metric,
-                                             force=(backend == "pallas")):
+    # `invalid` (rows that must never match, e.g. an index's zeroed NaN
+    # rows) is honored by the XLA path; it forces that path since
+    # pad_for_pallas derives NaN rows from values alone
+    if (backend != "xla" and invalid is None
+            and _pallas_eligible(points, queries, k_eff, metric,
+                                 force=(backend == "pallas"))):
         try:
             pp, pn = pad_for_pallas(points, point_norms)
-            return knn_pallas_prepadded(pp, pn, queries, k_eff, n)
+            # "highest" here: the default "high" pass needs bf16 hi/lo
+            # split planes, and deriving them per CALL is a full-corpus
+            # HBM rewrite — only index classes that persist the planes
+            # (prepare_*_index) should use reduced-precision passes
+            return knn_pallas_prepadded(pp, pn, queries, k_eff, n,
+                                        precision="highest")
         except Exception as exc:
             if backend == "pallas":
                 raise
@@ -169,9 +180,9 @@ def knn(points, queries, k: int, metric: Metric | None = None,
             warn_pallas_fallback(exc)
     c = _pick_chunk(n, queries.shape[0], points.shape[1], chunk)
     if point_norms is None:
-        return _knn_jit(points, queries, k=k_eff, metric=metric, chunk=c,
-                        rescore=rescore)
-    return _knn_jit_norms(points, queries, point_norms, k=k_eff,
+        return _knn_jit(points, queries, invalid, k=k_eff, metric=metric,
+                        chunk=c, rescore=rescore)
+    return _knn_jit_norms(points, queries, point_norms, invalid, k=k_eff,
                           metric=metric, chunk=c, rescore=rescore)
 
 
@@ -203,7 +214,8 @@ def pallas_tile_n(dim: int) -> int:
     return 4096 if dim <= 256 else 512
 
 
-def pad_for_pallas(points, point_norms=None, *, tn: int | None = None):
+def pad_for_pallas(points, point_norms=None, *, tn: int | None = None,
+                   bad=None):
     """Sanitize + pad points (+norms) for the fused kernel, ONCE at index
     build — per-query-call padding of a large corpus costs an extra HBM
     copy of the whole index (measured ~2x on SIFT-1M).
@@ -216,7 +228,8 @@ def pad_for_pallas(points, point_norms=None, *, tn: int | None = None):
     n, dim = points.shape
     if tn is None:
         tn = pallas_tile_n(dim)
-    bad = jnp.any(jnp.isnan(points), axis=-1)
+    if bad is None:
+        bad = jnp.any(jnp.isnan(points), axis=-1)
     points = jnp.where(bad[:, None], 0.0, points)
     if point_norms is None:
         point_norms = jnp.sum(points * points, axis=-1)
@@ -332,7 +345,11 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     # ---- exactness proof for the reduced-precision candidate pass ----
     qn = jnp.sum(queries * queries, axis=-1)
     xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded, 0.0))
-    err = 4.0 * PROOF_EPS[precision] * (qn + xn_max)        # (Q,)
+    # dim * 2^-24 term: worst-case f32 accumulation error of the d-term
+    # dot product (sum|q_i x_i| <= (qn+xn)/2 by AM-GM, sequential-sum
+    # bound d*eps) — negligible at SIFT dims, dominant at d ~ 4096+ so
+    # the proof stays sound instead of silently optimistic there
+    err = (4.0 * PROOF_EPS[precision] + dim * 2.0 ** -24) * (qn + xn_max)
     # the (k+slack)-th approx distance = working-set max (output unsorted)
     thr = jnp.max(rd_a, axis=1)
     covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
@@ -350,18 +367,20 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
-def _knn_jit(points, queries, *, k, metric, chunk, rescore):
-    return _knn_impl(points, queries, None, k, metric, chunk, rescore)
+def _knn_jit(points, queries, invalid, *, k, metric, chunk, rescore):
+    return _knn_impl(points, queries, None, invalid, k, metric, chunk,
+                     rescore)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))
-def _knn_jit_norms(points, queries, point_norms, *, k, metric, chunk,
-                   rescore):
-    return _knn_impl(points, queries, point_norms, k, metric, chunk, rescore)
+def _knn_jit_norms(points, queries, point_norms, invalid, *, k, metric,
+                   chunk, rescore):
+    return _knn_impl(points, queries, point_norms, invalid, k, metric,
+                     chunk, rescore)
 
 
-def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
-              chunk: int, rescore: bool):
+def _knn_impl(points, queries, point_norms, invalid, k: int,
+              metric: Metric, chunk: int, rescore: bool):
     """Exact k nearest neighbors of ``queries`` (Q, d) among ``points`` (n, d).
 
     Returns ``(distances, indices)`` with shape (Q, k_eff), sorted
@@ -392,25 +411,37 @@ def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
     use_norms = isinstance(metric, Euclidean)
     if use_norms:
         qn = jnp.sum(queries * queries, axis=-1)
-        if point_norms is not None and n_pad == n:
-            xn = point_norms
+        if point_norms is not None:
+            # PAD provided norms, never recompute: an index's resident
+            # copy may hold zeroed NaN rows whose exclusion lives in the
+            # +inf norms (recomputing would resurrect them as real rows)
+            xn = (jnp.pad(point_norms, (0, n_pad - n),
+                          constant_values=jnp.inf)
+                  if n_pad != n else point_norms)
         else:
             xn = jnp.sum(points * points, axis=-1)
         xn_chunks = xn.reshape(n_chunks, c)
     else:
         xn_chunks = jnp.zeros((n_chunks, c), dtype=points.dtype)
+    if invalid is not None:
+        inv_pad = (jnp.pad(invalid, (0, n_pad - n), constant_values=True)
+                   if n_pad != n else invalid)
+        inv_chunks = inv_pad.reshape(n_chunks, c)
+    else:
+        inv_chunks = jnp.zeros((n_chunks, c), dtype=bool)
 
     col = jnp.arange(c, dtype=jnp.int32)
 
     def body(carry, chunk_in):
         best_d, best_i = carry
-        pts, xn_c, base = chunk_in
+        pts, xn_c, inv_c, base = chunk_in
         if use_norms:
             rd = metric.rdist_with_norms(queries, pts, qn, xn_c)
         else:
             rd = metric.rdist(queries, pts)
         ids = base + col
-        rd = jnp.where(ids[None, :] < n, nan_to_inf(rd), jnp.inf)
+        ok = (ids[None, :] < n) & ~inv_c[None, :]
+        rd = jnp.where(ok, nan_to_inf(rd), jnp.inf)
         # New candidates go first so a real point at +inf (NaN coords sort
         # farthest, CHANGELOG.md:111-115) beats the -1/inf init sentinel
         # on the positional tie-break.
@@ -422,12 +453,19 @@ def _knn_impl(points, queries, point_norms, k: int, metric: Metric,
     init = (jnp.full((q, k_scan), jnp.inf, dtype=points.dtype),
             jnp.full((q, k_scan), -1, dtype=jnp.int32))
     bases = (jnp.arange(n_chunks, dtype=jnp.int32) * c)
-    (best_rd, best_i), _ = jax.lax.scan(body, init, (chunks, xn_chunks, bases))
+    (best_rd, best_i), _ = jax.lax.scan(
+        body, init, (chunks, xn_chunks, inv_chunks, bases))
 
     # mask any padded-row ids (possible only at inf ties with NaN-coordinate
     # points when k ~ n); they must never leak as out-of-range indices nor
     # re-score against the zero-padded rows
     best_i = jnp.where(best_i < n, best_i, -1)
+    if invalid is not None:
+        # invalid rows are selectable only at +inf ties (k ~ finite count)
+        # — they must never reach the rescore with their placeholder
+        # values nor surface as results
+        best_i = jnp.where(invalid[jnp.maximum(best_i, 0)] & (best_i >= 0),
+                           -1, best_i)
     if do_rescore:
         best_rd, best_i = rescore_exact(points, queries, best_i, k_eff)
     return monotone_distances(metric.rdistance_to_distance(best_rd)), best_i
@@ -556,7 +594,16 @@ def _radius_mask_matmul_jit(points, queries, rr, invalid, *, inclusive,
     # NaN-row norms are NaN — they must not poison the error band (their
     # rd is NaN -> +inf -> certain-out regardless)
     xn_max = jnp.max(jnp.where(invalid | ~jnp.isfinite(xn), 0.0, xn))
-    err = 4.0 * RADIUS_EPS * (qn + xn_max)                     # (q,)
+    # sqrt(dim)-scaled band: accumulation error grows ~sqrt(d) for
+    # non-adversarial data (measured max 8.4e-7 of (qn+xn_max) at 960-d
+    # vs this band's 7.4e-6 — BENCH_NOTES round-2 table).  This is a
+    # STOCHASTIC bound, not the worst-case d*eps one (which would flood
+    # the ambiguous cap and disable the path); defense in depth: the
+    # ±err sliver is direct-form rescored and cap overflow falls back to
+    # the all-direct path, so a misclassification needs a single pair to
+    # exceed ~9x the worst error ever measured
+    band = 4.0 * RADIUS_EPS * max(1.0, (dim / 64.0) ** 0.5)
+    err = band * (qn + xn_max)                                 # (q,)
 
     c = chunk
     n_chunks = -(-n // c)

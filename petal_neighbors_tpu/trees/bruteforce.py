@@ -177,7 +177,8 @@ class BruteForce:
                 bf.warn_pallas_fallback(exc)
         d, i = bf.knn(self._xla_points(), self._q(qs), k, self.metric,
                       chunk=chunk, point_norms=self._xla_norms(),
-                      assume_centered=True, backend="xla")
+                      assume_centered=True, backend="xla",
+                      invalid=self._invalid)
         self.last_backend = "xla"
         return d, i
 

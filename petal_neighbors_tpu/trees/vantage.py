@@ -213,7 +213,10 @@ def _vp_knn_flat(points, queries, trunk_pts, members, anc_t, anc_near,
     n_chunks = -(-S // C)
     pad = n_chunks * C - S
     if pad:
-        order = jnp.pad(order, ((0, 0), (0, pad)))
+        # pad with the out-of-range sentinel S, NOT 0: a 0 pad makes the
+        # final partial chunk re-scan subtree 0, and merge_topk would
+        # then hold duplicate ids that crowd out true neighbors
+        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=S)
         lb_sorted = jnp.pad(lb_sorted, ((0, 0), (0, pad)),
                             constant_values=jnp.inf)
 
@@ -227,8 +230,9 @@ def _vp_knn_flat(points, queries, trunk_pts, members, anc_t, anc_near,
         best_d, best_i, ci = state
         sub_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C),
                                         (q, C))              # (Q, C)
-        pos = members[sub_ids]                               # (Q, C, M)
-        valid = pos >= 0
+        real = sub_ids < S                                   # pad sentinel
+        pos = members[jnp.minimum(sub_ids, S - 1)]           # (Q, C, M)
+        valid = (pos >= 0) & real[:, :, None]
         pts = points[jnp.maximum(pos, 0)]                    # (Q, C, M, d)
         if isinstance(metric, Euclidean):
             diff = pts - queries[:, None, None, :]

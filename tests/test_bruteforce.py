@@ -374,3 +374,56 @@ class TestCosineKernelMode:
         for r in range(len(qs)):
             assert set(np.asarray(i_xla)[r].tolist()) == set(oi[r].tolist())
         np.testing.assert_allclose(np.asarray(d_xla), od, atol=2e-6)
+
+
+class TestKernelModeXlaFallbackNaN:
+    """Regression (review finding): the kernel-mode index's resident
+    copy zeroes NaN rows (+inf norms).  The XLA fallback must not
+    resurrect them — neither by recomputing norms when the chunk pads
+    the corpus, nor through the rescore."""
+
+    def _kernel_mode_index(self, rng, monkeypatch):
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        pts = rng.standard_normal((5000, 200)).astype(np.float32)
+        pts[7] = np.nan
+        pts[11, 3] = np.nan
+        idx = BruteForce.euclidean(pts)
+        assert idx._pallas_pts is not None      # kernel-resident layout
+        return pts, idx
+
+    def test_fallback_never_returns_nan_rows(self, rng, monkeypatch):
+        pts, idx = self._kernel_mode_index(rng, monkeypatch)
+
+        def boom(*a, **kw):
+            raise RuntimeError("forced")
+
+        monkeypatch.setattr(bf, "knn_pallas_prepadded", boom)
+        bf._fallback_warned = True
+        qs = pts[100:132].copy()
+        # chunk=4096 does NOT divide 5000: the padded-norms path
+        d, i = idx.query_batch(qs, 5, chunk=4096)
+        assert idx.last_backend == "xla"
+        i = np.asarray(i)
+        assert not np.isin(i, [7, 11]).any()
+        # nearest neighbor of each query is itself at distance ~0
+        np.testing.assert_allclose(np.asarray(d)[:, 0], 0.0, atol=1e-3)
+
+    def test_invalid_rows_stay_out_even_at_k_near_n(self, rng, monkeypatch):
+        """k > finite-candidate count: invalid rows must surface as
+        (-1, inf), not as rescored zeroed rows."""
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        pts = rng.standard_normal((4400, 200)).astype(np.float32)
+        pts[:3] = np.nan
+        idx = BruteForce.euclidean(pts)
+
+        def boom(*a, **kw):
+            raise RuntimeError("forced")
+
+        monkeypatch.setattr(bf, "knn_pallas_prepadded", boom)
+        bf._fallback_warned = True
+        d, i = idx.query_batch(pts[50:52].copy(), 4400, chunk=4096)
+        i = np.asarray(i); d = np.asarray(d)
+        assert not np.isin(i, [0, 1, 2]).any()
+        assert (i[:, -3:] == -1).all() and np.isinf(d[:, -3:]).all()

@@ -298,3 +298,31 @@ class TestDeviceVpBuilder:
         got = sorted(vd.query_radius(q, 0.3).tolist())
         od = np.sqrt(((pts - q[None]) ** 2).sum(-1))
         assert got == np.flatnonzero(od <= 0.3).tolist()
+
+
+class TestFlatEnginePartialChunk:
+    def test_partial_final_chunk_no_duplicates(self, rng):
+        """Regression: when the subtree count S is not a multiple of the
+        scan chunk C, the padded scan order must use an out-of-range
+        sentinel — a 0 pad re-scans subtree 0 and merge_topk then holds
+        DUPLICATE ids that crowd out true neighbors (recall < 1)."""
+        from petal_neighbors_tpu.trees.vantage import (_vp_knn_flat,
+                                                       VantagePointTree)
+        import jax.numpy as jnp
+        pts = rng.standard_normal((300, 3)).astype(np.float64)
+        qs = pts[:40] + 0.01 * rng.standard_normal((40, 3))
+        vp = VantagePointTree.euclidean(pts)
+        tables = vp._flat_tables()
+        S = tables[1].shape[0]
+        d = ((qs[:, None] - pts[None]) ** 2).sum(-1)
+        oracle = np.sort(d, axis=1)[:, :5]
+        for C in (1, 2, 3, 4, 5, 7):
+            if S % C == 0:
+                continue
+            dd, ii = _vp_knn_flat(jnp.asarray(pts), jnp.asarray(qs),
+                                  *tables, k=5, metric=vp.metric, chunk=C)
+            ii = np.asarray(ii)
+            for r in range(len(qs)):
+                assert len(set(ii[r].tolist())) == 5, (C, r, ii[r])
+            np.testing.assert_allclose(np.asarray(dd) ** 2, oracle,
+                                       rtol=1e-9)
