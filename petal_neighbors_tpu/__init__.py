@@ -21,11 +21,13 @@ from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
 from .trees import (BallTree, BruteForce, DynamicIndex, VantagePointTree,
                     dual_tree_knn)
+from .sklearn import NearestNeighbors
 from .utils.serialize import load_index, save_index
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "NearestNeighbors",
     "distance",
     "Metric",
     "Euclidean",
