@@ -122,6 +122,14 @@ class Metric(abc.ABC):
         """Hook for metrics with dimensionality requirements (index
         constructors call this before building)."""
 
+    def invalid_queries(self, q):
+        """(Q,) bool: query rows whose distance to EVERY point is NaN
+        (-> +inf).  Such rows get (+inf, -1) results on all backends —
+        the fused kernel's NaN-query policy, mirrored by the XLA paths
+        (PARITY.md numeric contract).  Base rule: any NaN coordinate;
+        Cosine adds zero-norm rows (0/0 division, distance.rs:93-105)."""
+        return jnp.any(jnp.isnan(jnp.asarray(q)), axis=-1)
+
 
 class Euclidean(Metric):
     """Euclidean metric (distance.rs:16-55).
@@ -239,6 +247,13 @@ class Cosine(Metric):
         nx = jnp.sqrt(jnp.sum(x * x, axis=-1))
         ny = jnp.sqrt(jnp.sum(y * y, axis=-1))
         return 1.0 - dot / (nx * ny)
+
+    def invalid_queries(self, q):
+        # zero-norm queries divide 0/0 -> NaN against every point; same
+        # (+inf, -1) policy as the kernel path's normalize-to-NaN
+        q = jnp.asarray(q)
+        return (jnp.any(jnp.isnan(q), axis=-1)
+                | (jnp.sum(q * q, axis=-1) == 0.0))
 
 
 class Minkowski(Metric):

@@ -25,7 +25,8 @@ from .topk import (merge_topk, monotone_distances, nan_to_inf,
                    rescore_exact)
 
 __all__ = ["knn", "radius_mask", "radius_counts", "compact_mask",
-           "center_of"]
+           "center_of", "radius_capped", "radius_counts_streaming",
+           "distances_at"]
 
 
 def center_of(points) -> jnp.ndarray:
@@ -468,12 +469,19 @@ def _knn_impl(points, queries, point_norms, invalid, k: int,
                            -1, best_i)
     if do_rescore:
         best_rd, best_i = rescore_exact(points, queries, best_i, k_eff)
-    return monotone_distances(metric.rdistance_to_distance(best_rd)), best_i
+    # invalid queries (NaN coords; zero-norm for cosine): every distance
+    # is NaN -> +inf, and the positional tie-break above would otherwise
+    # surface arbitrary real ids — align with the fused kernel's
+    # (+inf, -1) policy (round-2 advisor finding)
+    qbad = metric.invalid_queries(queries)[:, None]
+    dists = monotone_distances(metric.rdistance_to_distance(best_rd))
+    return (jnp.where(qbad, jnp.inf, dists),
+            jnp.where(qbad, -1, best_i))
 
 
 def radius_mask(points, queries, radius, metric: Metric | None = None,
                 *, inclusive: bool = True, chunk: int | None = None,
-                invalid=None, amb_cap: int = 128):
+                invalid=None, amb_cap: int = 256):
     """Boolean membership mask (Q, n): distance-to-query within ``radius``.
 
     ``inclusive=True`` uses ``d <= r``. The reference's single-query leaf
@@ -556,12 +564,17 @@ def _radius_mask_jit(points, queries, radius, invalid, *, metric, inclusive,
     return jnp.moveaxis(masks, 0, 1).reshape(q, n_pad)[:, :n]
 
 
-# Pointwise |matmul_rd − direct_rd| bound factor for the f32-HIGHEST
-# ``qn + xn − 2q·x`` form: term rounding plus dot-product accumulation.
-# 2^-20 is ~16x the bare f32 eps, covering dim-proportional accumulation
-# at any practical dim; the band it defines around the radius is what
-# the direct-form rescore must re-decide.
-RADIUS_EPS = 2.0 ** -20
+def _radius_band(dim: int) -> float:
+    """Worst-case pointwise |matmul_rd − direct_rd| factor (of qn+xn_max)
+    for the f32-HIGHEST ``qn + xn − 2q·x`` form: sequential-sum
+    accumulation of the three d-term dot products (each <= dim·eps·(qn+xn)
+    via AM-GM on |q_i·x_i|) plus the final term additions.  SOUND, not
+    stochastic — a single misclassified pair outside the rescored sliver
+    would break the exactness invariant (round-2 advisor finding; the
+    sibling k-NN proof at PROOF_EPS uses the same dim-proportional term).
+    The wider band only costs more ambiguous-sliver rescoring; overflow of
+    the ambiguity cap falls back to the all-direct path."""
+    return (8.0 + 2.0 * dim) * 2.0 ** -24
 
 
 @partial(jax.jit, static_argnames=("inclusive", "chunk", "cap"))
@@ -580,9 +593,10 @@ def _radius_mask_matmul_jit(points, queries, rr, invalid, *, inclusive,
       otherwise          ambiguous — collected (≤ ``cap`` ids/query) and
                          re-decided with the direct (q−x)² form
 
-    err = 4·RADIUS_EPS·(‖q‖² + max‖x‖²); callers pass CENTERED data so
-    the band stays ~1e-5 of the data scale (uncentered data only inflates
-    the band → more rescoring / overflow fallback, never wrong results).
+    err = _radius_band(dim)·(‖q‖² + max‖x‖²) — the sound worst-case
+    accumulation bound; callers pass CENTERED data so the band stays
+    ~1e-4 of the data scale (uncentered data only inflates the band →
+    more rescoring / overflow fallback, never wrong results).
     Returns (mask (Q, n) bool, overflow bool) — ``overflow`` means some
     query exceeded ``cap`` ambiguous ids and the caller must re-run the
     direct path.
@@ -594,16 +608,7 @@ def _radius_mask_matmul_jit(points, queries, rr, invalid, *, inclusive,
     # NaN-row norms are NaN — they must not poison the error band (their
     # rd is NaN -> +inf -> certain-out regardless)
     xn_max = jnp.max(jnp.where(invalid | ~jnp.isfinite(xn), 0.0, xn))
-    # sqrt(dim)-scaled band: accumulation error grows ~sqrt(d) for
-    # non-adversarial data (measured max 8.4e-7 of (qn+xn_max) at 960-d
-    # vs this band's 7.4e-6 — BENCH_NOTES round-2 table).  This is a
-    # STOCHASTIC bound, not the worst-case d*eps one (which would flood
-    # the ambiguous cap and disable the path); defense in depth: the
-    # ±err sliver is direct-form rescored and cap overflow falls back to
-    # the all-direct path, so a misclassification needs a single pair to
-    # exceed ~9x the worst error ever measured
-    band = 4.0 * RADIUS_EPS * max(1.0, (dim / 64.0) ** 0.5)
-    err = band * (qn + xn_max)                                 # (q,)
+    err = _radius_band(dim) * (qn + xn_max)                    # (q,)
 
     c = chunk
     n_chunks = -(-n // c)
@@ -678,6 +683,166 @@ def _amb_rescore(points, queries, ids, rr, inclusive, n: int):
 def radius_counts(mask):
     """Per-query neighbor counts from a membership mask."""
     return jnp.sum(mask, axis=-1).astype(jnp.int32)
+
+
+def _stream_setup(points, queries, metric, chunk, invalid):
+    """Shared prep for the streaming (mask-free) radius ops."""
+    metric = metric or Euclidean()
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    n = points.shape[0]
+    if invalid is None:
+        invalid = jnp.zeros((n,), dtype=bool)
+    c = _pick_chunk(n, queries.shape[0], points.shape[1], chunk,
+                    direct=isinstance(metric, Euclidean))
+    return metric, points, queries, invalid, c
+
+
+def radius_counts_streaming(points, queries, radius,
+                            metric: Metric | None = None, *,
+                            inclusive: bool = True, invalid=None,
+                            chunk: int | None = None):
+    """Per-query within-radius counts WITHOUT materializing the (Q, n)
+    mask: one streamed scan over point chunks, (Q,) output.  The memory
+    footprint is O(Q·chunk) regardless of n — the corpus-scale discipline
+    the dense ``radius_mask`` path cannot offer (a 10k-query sweep over a
+    1M-row corpus would hold a 10 GB mask).
+
+    Membership uses the direct difference form (exact boundary decisions
+    at any dim — same rationale as ``_radius_mask_jit``)."""
+    metric, points, queries, invalid, c = _stream_setup(
+        points, queries, metric, chunk, invalid)
+    r = jnp.asarray(radius, dtype=points.dtype)
+    return _radius_counts_stream_jit(points, queries, r, invalid,
+                                     metric=metric, inclusive=inclusive,
+                                     chunk=c)
+
+
+def radius_capped(points, queries, radius, metric: Metric | None = None,
+                  *, cap: int, inclusive: bool = True, invalid=None,
+                  chunk: int | None = None):
+    """Streaming capped radius search: (ids (Q, cap), counts (Q,)) without
+    ever materializing the (Q, n) mask.
+
+    ``ids`` holds each query's first ``cap`` member ids in ASCENDING id
+    order, -1 padded; ``counts`` is exact regardless of ``cap`` (the
+    enlarge-and-retry overflow signal: ``counts > cap`` means the list was
+    truncated).  Boundary rule per ``inclusive`` (d <= r vs strict d < r);
+    NaN rows never match; ``invalid`` rows never match."""
+    metric, points, queries, invalid, c = _stream_setup(
+        points, queries, metric, chunk, invalid)
+    r = jnp.asarray(radius, dtype=points.dtype)
+    return _radius_capped_jit(points, queries, r, invalid, metric=metric,
+                              inclusive=inclusive, chunk=c,
+                              cap=min(cap, points.shape[0]))
+
+
+def _member_chunk(pts, queries, rr, metric, inclusive):
+    """(Q, c) membership of one point chunk — direct form, NaN -> +inf."""
+    if isinstance(metric, Euclidean):
+        diff = queries[:, None, :] - pts[None, :, :]
+        rd = nan_to_inf(jnp.sum(diff * diff, axis=-1))
+    else:
+        rd = nan_to_inf(metric.rdist(queries, pts))
+    return (rd <= rr) if inclusive else (rd < rr)
+
+
+def _chunked_points(points, invalid, chunk):
+    n, dim = points.shape
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    if n_pad != n:
+        points = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+        invalid = jnp.pad(invalid, (0, n_pad - n), constant_values=True)
+    return (points.reshape(n_chunks, chunk, dim),
+            invalid.reshape(n_chunks, chunk),
+            jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+
+@partial(jax.jit, static_argnames=("metric", "inclusive", "chunk"))
+def _radius_counts_stream_jit(points, queries, radius, invalid, *, metric,
+                              inclusive, chunk):
+    n = points.shape[0]
+    rr = metric.distance_to_rdistance(radius)
+    chunks, inv_chunks, bases = _chunked_points(points, invalid, chunk)
+    col = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(cnt, chunk_in):
+        pts, inv, base = chunk_in
+        m = _member_chunk(pts, queries, rr, metric, inclusive)
+        m = m & ((base + col)[None, :] < n) & ~inv[None, :]
+        return cnt + jnp.sum(m, axis=1, dtype=jnp.int32), None
+
+    cnt, _ = jax.lax.scan(body, jnp.zeros((queries.shape[0],), jnp.int32),
+                          (chunks, inv_chunks, bases))
+    return cnt
+
+
+@partial(jax.jit, static_argnames=("metric", "inclusive", "chunk", "cap"))
+def _radius_capped_jit(points, queries, radius, invalid, *, metric,
+                       inclusive, chunk, cap):
+    """Streamed compaction: per chunk, compact member columns locally
+    (top_k over negated positions), then order-preserving-merge into the
+    carried (Q, cap) id list — the same sentinel-slot merge the ambiguous
+    band of ``_radius_mask_matmul_jit`` uses.  Carried ids stay globally
+    ascending because chunks arrive in id order."""
+    n = points.shape[0]
+    q = queries.shape[0]
+    rr = metric.distance_to_rdistance(radius)
+    chunks, inv_chunks, bases = _chunked_points(points, invalid, chunk)
+    col = jnp.arange(chunk, dtype=jnp.int32)
+    kc = min(cap, chunk)
+    slot = jnp.arange(cap + kc, dtype=jnp.int32)
+
+    def body(carry, chunk_in):
+        ids, cnt = carry
+        pts, inv, base = chunk_in
+        m = _member_chunk(pts, queries, rr, metric, inclusive)
+        m = m & ((base + col)[None, :] < n) & ~inv[None, :]
+        vals, _ = jax.lax.top_k(jnp.where(m, -col, -(chunk + 1)), kc)
+        ids_c = jnp.where(vals > -(chunk + 1), base - vals, n)  # sentinel n
+        allids = jnp.concatenate([ids, ids_c], axis=1)          # (q, cap+kc)
+        key = jnp.where(allids < n, slot, cap + kc + 1)
+        _, pos = jax.lax.top_k(-key, cap)
+        ids = jnp.take_along_axis(allids, pos, axis=1)
+        cnt = cnt + jnp.sum(m, axis=1, dtype=jnp.int32)
+        return (ids, cnt), None
+
+    init = (jnp.full((q, cap), n, dtype=jnp.int32),
+            jnp.zeros((q,), dtype=jnp.int32))
+    (ids, cnt), _ = jax.lax.scan(body, init, (chunks, inv_chunks, bases))
+    return jnp.where(ids < n, ids, -1), cnt
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def distances_at(points, queries, ids, metric: Metric):
+    """Exact distances from each query to ITS OWN id list: (Q, cap) from
+    ids (Q, cap), -1 (or out-of-range) entries -> +inf.  Streamed over
+    query blocks so the (block, cap, dim) gather stays ~tens of MB —
+    the companion to ``radius_capped`` for distance-returning radius APIs
+    that must not materialize (Q, n) anything."""
+    n, dim = points.shape
+    q, cap = ids.shape
+    qb = min(128, q)
+    nb = -(-q // qb)
+    qpad = nb * qb - q
+    ids_b = jnp.pad(ids, ((0, qpad), (0, 0)),
+                    constant_values=-1).reshape(nb, qb, cap)
+    qs_b = jnp.pad(queries, ((0, qpad), (0, 0))).reshape(nb, qb, dim)
+
+    def body(_, xs):
+        idb, qsb = xs
+        ok = (idb >= 0) & (idb < n)
+        cand = points[jnp.where(ok, idb, 0)]                   # (qb, cap, d)
+        rd = nan_to_inf(metric.rowwise_rdist(qsb[:, None, :], cand))
+        return None, jnp.where(ok, rd, jnp.inf)
+
+    _, rd = jax.lax.scan(body, None, (ids_b, qs_b))
+    rd = rd.reshape(nb * qb, cap)[:q]
+    # missing/NaN entries stay +inf through the conversion (Haversine's
+    # conversion clips its domain and would map inf to pi otherwise)
+    return jnp.where(jnp.isinf(rd), jnp.inf,
+                     metric.rdistance_to_distance(rd))
 
 
 @partial(jax.jit, static_argnames=("cap",))

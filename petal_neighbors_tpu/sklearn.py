@@ -16,8 +16,13 @@ Semantics follow sklearn where the two differ from the reference crate:
   exclusion (the reference's ``query`` never excludes).
 * ``radius_neighbors`` uses the uniform inclusive ``d <= r`` rule
   (sklearn and the reference's *documented* contract,
-  ball_tree.rs:123-124) via the BruteForce mask path, not the ball
-  tree's take-inclusive/scan-strict quirk.
+  ball_tree.rs:123-124) via the streaming capped brute path
+  (ops.bruteforce.radius_capped), not the ball tree's
+  take-inclusive/scan-strict quirk — and never materializes anything
+  (n_queries, n)-shaped.
+* out-of-contract ``n_neighbors`` raises sklearn's own errors
+  (k <= 0; k [+1 for self-query] > n_samples_fit) instead of the
+  engines' silent k>n clamp; ``mode`` strings are validated.
 
 Everything stays exact (recall 1.0) — ``algorithm`` only selects which
 exact engine serves the queries.
@@ -103,12 +108,25 @@ class NearestNeighbors:
                    return_distance: bool = True):
         """(distances, indices) of the k nearest training points,
         ascending — shapes (n_queries, k).  ``X=None`` queries the
-        training set itself with self-exclusion (sklearn contract)."""
+        training set itself with self-exclusion (sklearn contract).
+
+        Raises sklearn's errors for out-of-contract ``n_neighbors``:
+        k <= 0, and k (+1 for self-query) exceeding ``n_samples_fit_``
+        (the engine-level k>n clamp would silently return fewer columns
+        where sklearn promises an exception)."""
         self._check_fitted()
-        k = int(n_neighbors or self.n_neighbors)
+        k = self.n_neighbors if n_neighbors is None else int(n_neighbors)
+        if k <= 0:
+            raise ValueError(f"Expected n_neighbors > 0. Got {k}")
         self_query = X is None
         qs = np.asarray(self._fit_X) if self_query else np.asarray(X)
         kq = k + 1 if self_query else k
+        n_fit = self.n_samples_fit_
+        if kq > n_fit:
+            raise ValueError(
+                f"Expected n_neighbors <= n_samples_fit, but "
+                f"n_neighbors = {kq}, n_samples_fit = {n_fit}, "
+                f"n_samples = {len(qs)}")
         d, i = self._index.query_batch(qs, kq)
         d = np.asarray(d)
         i = np.asarray(i)
@@ -130,11 +148,19 @@ class NearestNeighbors:
             return d, i.astype(np.int64)
         return i.astype(np.int64)
 
+    @staticmethod
+    def _check_mode(mode: str) -> None:
+        if mode not in ("connectivity", "distance"):
+            raise ValueError(
+                f'Unsupported mode, must be one of "connectivity" or '
+                f'"distance" but got "{mode}" instead')
+
     def kneighbors_graph(self, X=None, n_neighbors: int | None = None,
                          mode: str = "connectivity"):
         """Sparse CSR (n_queries, n_samples_fit): 1s or distances."""
         from scipy.sparse import csr_matrix
 
+        self._check_mode(mode)
         d, i = self.kneighbors(X, n_neighbors, return_distance=True)
         nq, k = i.shape
         data = np.ones(nq * k) if mode == "connectivity" else d.ravel()
@@ -147,11 +173,14 @@ class NearestNeighbors:
                          return_distance: bool = True):
         """Per-query arrays of neighbor ids (and distances) within
         ``radius`` (inclusive d <= r), as object arrays of variable
-        length — the sklearn return shape."""
-        import jax.numpy as jnp
+        length — the sklearn return shape.
 
+        Memory discipline matches the engines': a streamed count pass
+        sizes the result, a streamed capped pass collects ids, and
+        distances are gathered per id list — nothing (n_queries, n)-shaped
+        is ever materialized (a SIFT-1M x 10k-query call would need a
+        40 GB distance matrix otherwise)."""
         from .ops import bruteforce as bf
-        from .ops.topk import nan_to_inf
 
         self._check_fitted()
         r = float(radius if radius is not None else self.radius)
@@ -159,27 +188,32 @@ class NearestNeighbors:
         qs = np.asarray(self._fit_X) if self_query else np.asarray(X)
         pts = np.asarray(self._fit_X)
         metric = self._index.metric
-        # the uniform inclusive d <= r rule promised above — via the
-        # brute mask path, NOT the ball tree's take-inclusive/scan-strict
-        # boundary quirk; NaN rows never match (NaN -> +inf)
-        mask = np.asarray(bf.radius_mask(pts, qs, r, metric,
-                                         inclusive=True))
-        if return_distance:
-            # one dispatch: the full (nq, n) metric-correct distance
-            # matrix (adapter-scale convenience; the engine-native capped
-            # APIs avoid this materialization)
-            d_all = np.asarray(metric.rdistance_to_distance(
-                nan_to_inf(metric.rdist(jnp.asarray(qs),
-                                        jnp.asarray(pts)))))
+        # the uniform inclusive d <= r rule promised above — NOT the ball
+        # tree's take-inclusive/scan-strict boundary quirk; NaN rows never
+        # match (NaN -> +inf).  Counts first (streamed, (Q,) output), then
+        # one capped collection sized by the worst query.
+        counts = np.asarray(bf.radius_counts_streaming(pts, qs, r, metric,
+                                                       inclusive=True))
+        cap = int(counts.max()) if len(counts) else 0
         ids_out = np.empty(len(qs), dtype=object)
         d_out = np.empty(len(qs), dtype=object)
+        if cap == 0:
+            for row in range(len(qs)):
+                ids_out[row] = np.empty(0, dtype=np.int64)
+                d_out[row] = np.empty(0, dtype=np.float64)
+            return (d_out, ids_out) if return_distance else ids_out
+        ids, _ = bf.radius_capped(pts, qs, r, metric, cap=cap,
+                                  inclusive=True)
+        if return_distance:
+            d_cap = np.asarray(bf.distances_at(pts, qs, ids, metric))
+        ids = np.asarray(ids)
         for row in range(len(qs)):
-            ids = np.flatnonzero(mask[row])
+            sel = ids[row] >= 0
             if self_query:
-                ids = ids[ids != row]
-            ids_out[row] = ids.astype(np.int64)
+                sel &= ids[row] != row
+            ids_out[row] = ids[row, sel].astype(np.int64)
             if return_distance:
-                d_out[row] = d_all[row, ids_out[row]].astype(np.float64)
+                d_out[row] = d_cap[row, sel].astype(np.float64)
         if return_distance:
             return d_out, ids_out
         return ids_out
@@ -189,6 +223,7 @@ class NearestNeighbors:
         """Sparse CSR ε-adjacency (the DBSCAN driver shape)."""
         from scipy.sparse import csr_matrix
 
+        self._check_mode(mode)
         d, ids = self.radius_neighbors(X, radius, return_distance=True)
         nq = len(ids)
         indptr = np.zeros(nq + 1, dtype=np.int64)

@@ -184,26 +184,30 @@ class BruteForce:
 
     def query_radius_count_batch(self, queries, distance, *,
                                  inclusive: bool = True):
-        """Per-query neighbor counts only (no lists materialized)."""
+        """Per-query neighbor counts only — one streamed scan, O(Q·chunk)
+        memory, no (Q, n) mask (bf.radius_counts_streaming)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self._xla_points(), self._q(qs), distance,
-                              self.metric, inclusive=inclusive,
-                              invalid=self._invalid)
-        return bf.radius_counts(mask)
+        return bf.radius_counts_streaming(
+            self._xla_points(), self._q(qs), distance, self.metric,
+            inclusive=inclusive, invalid=self._invalid)
 
     def query_radius_batch(self, queries, distance, *, cap: int | None = None,
                            inclusive: bool = True):
         """Batched radius search: (Q, n) mask, or (ids, counts) with ``cap``.
 
-        ``inclusive`` selects the boundary rule: ``d <= r`` (default, the
-        reference's documented contract, ball_tree.rs:123-124) or strict
-        ``d < r`` (the reference's leaf-scan rule, ball_tree.rs:277 —
-        DynamicIndex uses this for delta rows so semantics match the base
-        tree's leaf path)."""
+        The capped form streams (bf.radius_capped): O(Q·(chunk + cap))
+        memory however large the corpus — counts stay exact past the cap
+        (the enlarge-and-retry signal).  ``inclusive`` selects the
+        boundary rule: ``d <= r`` (default, the reference's documented
+        contract, ball_tree.rs:123-124) or strict ``d < r`` (the
+        reference's leaf-scan rule, ball_tree.rs:277 — DynamicIndex uses
+        this for delta rows so semantics match the base tree's leaf
+        path)."""
         qs = check_query_batch(queries, self.dim, self.points.dtype)
-        mask = bf.radius_mask(self._xla_points(), self._q(qs), distance,
-                              self.metric, inclusive=inclusive,
-                              invalid=self._invalid)
         if cap is None:
-            return mask
-        return bf.compact_mask(mask, cap)
+            return bf.radius_mask(self._xla_points(), self._q(qs), distance,
+                                  self.metric, inclusive=inclusive,
+                                  invalid=self._invalid)
+        return bf.radius_capped(self._xla_points(), self._q(qs), distance,
+                                self.metric, cap=cap, inclusive=inclusive,
+                                invalid=self._invalid)

@@ -5,8 +5,8 @@ For serving, this wrapper adds an LSM-style mutable layer:
 
 * **base segment** — a built ``BallTree`` over the live rows at the last
   rebuild (fast tree-pruned queries), with a stable-id side table;
-* **delta segment** — rows added since, in a ``BruteForce`` index (exact,
-  no build cost; MXU-scanned; built lazily on first query);
+* **delta segment** — rows added since, scanned brute-force inside the
+  fused query programs (exact, no build cost);
 * **tombstones** — pending deletes filtered out of results.
 
 Queries fetch top-(k + #tombstones) from each segment, mask tombstones,
@@ -15,11 +15,12 @@ mutation load crosses ``rebuild_threshold`` of the base, ``rebuild()``
 compacts: dead rows are dropped for good (memory stays proportional to
 live rows), while ids remain stable forever (never reused).
 
-k-NN queries are ONE fused device program (``_fused_knn``: base tree
-query + delta scan + tombstone mask + merge), same dispatch count as the
-immutable indexes; side-table shapes are padded to powers of two so the
-program recompiles O(log #mutations) times.  Radius queries still take
-two segment dispatches plus an eager merge.
+k-NN *and radius* queries are each ONE fused device program
+(``_fused_knn`` / ``_fused_radius``: base tree query + delta scan +
+tombstone mask + merge), same dispatch count as the immutable indexes;
+side-table shapes are padded to powers of two so the programs recompile
+O(log #mutations) times, and the padded device state is cached between
+queries (each host->device transfer is a tunnel RTT too).
 """
 
 from __future__ import annotations
@@ -34,7 +35,6 @@ from ..distance import Metric, get_metric
 from ..ops.topk import smallest_k
 from ..utils.validation import check_query, check_query_batch
 from .ball import BallTree
-from .bruteforce import BruteForce
 
 __all__ = ["DynamicIndex"]
 
@@ -77,6 +77,50 @@ def _fused_knn(points_perm, perm_norms, orig_ids, leaf_c, leaf_r, center,
     return smallest_k(d, i, k_eff)
 
 
+@partial(jax.jit, static_argnames=("cap", "fetch", "shape", "metric",
+                                   "point_chunk"))
+def _fused_radius(points_perm, orig_ids, centroids, radii, base_map,
+                  delta_rows, delta_map, tomb, qs, r, *, cap: int,
+                  fetch: int, shape, metric: Metric, point_chunk: int):
+    """ONE device program for the two-segment capped radius query: base
+    tree-pruned capped search (BallTree boundary semantics) + strict
+    ``d < r`` streamed delta scan + tombstone filtering + compaction.
+    Replaces the round-2 base-dispatch + delta-dispatch + host-side merge
+    (each extra dispatch is a tunnel RTT, CLAUDE.md).
+
+    Each segment is over-fetched to ``fetch = cap + #tombstone slots`` so
+    dead rows cannot crowd out live ones; a segment count beyond even
+    ``fetch`` forces the returned count above ``cap`` (the
+    enlarge-and-retry signal) because the capped list would be
+    incomplete.  NaN-padded delta rows never match; padded tombstone
+    slots (-1) only ever mask already-dead (-1) entries."""
+    from ..ops import bruteforce as bf
+    from . import ball_query
+
+    bi, bc = ball_query.radius_query_capped(
+        points_perm, orig_ids, centroids, radii, qs, r, shape=shape,
+        metric=metric, cap=fetch, point_chunk=point_chunk)
+    overflow = bc > fetch
+    bi = jnp.where(bi >= 0, base_map[jnp.maximum(bi, 0)], -1)
+    cnt = bc
+    if delta_rows is not None:
+        di, dc = bf.radius_capped(delta_rows, qs, r, metric, cap=fetch,
+                                  inclusive=False)
+        overflow = overflow | (dc > fetch)
+        di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
+        bi = jnp.concatenate([bi, di], axis=1)
+        cnt = cnt + dc
+    if tomb is not None:
+        dead = jnp.isin(bi, tomb) & (bi >= 0)
+        cnt = cnt - jnp.sum(dead, axis=1).astype(cnt.dtype)
+        bi = jnp.where(dead, -1, bi)
+    # compact: real ids first (sort key pushes -1 entries last)
+    order = jnp.argsort(bi < 0, axis=1, stable=True)
+    bi = jnp.take_along_axis(bi, order, axis=1)[:, :cap]
+    cnt = jnp.where(overflow, jnp.maximum(cnt, cap + 1), cnt)
+    return bi, cnt
+
+
 class DynamicIndex:
     """Exact k-NN index supporting add/remove between rebuilds."""
 
@@ -92,9 +136,10 @@ class DynamicIndex:
         self._base_ids = np.arange(pts.shape[0], dtype=np.int64)
         self._delta_rows: list[np.ndarray] = []
         self._delta_ids: list[np.ndarray] = []
-        self._delta: BruteForce | None = None      # built lazily
         self._tombstones: set[int] = set()         # pending deletes (live ids)
         self._next_id = pts.shape[0]
+        self._mut_cache = None                     # device mutation state
+        self._base_map_dev = None
 
     @classmethod
     def _from_state(cls, base_rows, metric, leaf_size, centroids, radii,
@@ -115,9 +160,10 @@ class DynamicIndex:
         self._delta_rows = [delta_rows] if len(delta_rows) else []
         self._delta_ids = ([np.asarray(delta_ids, dtype=np.int64)]
                            if len(delta_rows) else [])
-        self._delta = None
         self._tombstones = set(int(t) for t in np.asarray(tombstones))
         self._next_id = int(next_id)
+        self._mut_cache = None
+        self._base_map_dev = None
         return self
 
     def save(self, path) -> None:
@@ -158,7 +204,7 @@ class DynamicIndex:
         self._next_id += len(new)
         self._delta_rows.append(new)
         self._delta_ids.append(ids)
-        self._delta = None                 # rebuilt lazily on next query
+        self._invalidate_caches()
         self._maybe_rebuild()
         return ids
 
@@ -178,6 +224,7 @@ class DynamicIndex:
                 "cannot remove every remaining point: the index requires "
                 "at least one live row (reference Empty contract)")
         self._tombstones.update(pend)
+        self._invalidate_caches()
         self._maybe_rebuild()
 
     def rebuild(self) -> None:
@@ -197,8 +244,8 @@ class DynamicIndex:
         self._base_ids = ids
         self._delta_rows = []
         self._delta_ids = []
-        self._delta = None
         self._tombstones = set()
+        self._invalidate_caches()
 
     def _maybe_rebuild(self) -> None:
         base_n = len(self._base_ids)
@@ -208,18 +255,14 @@ class DynamicIndex:
             self.rebuild()
 
     # ------------------------------------------------------------------
-    def _delta_index(self) -> BruteForce | None:
-        if not self._delta_rows:
-            return None
-        if self._delta is None:
-            self._delta = BruteForce(
-                np.concatenate(self._delta_rows, axis=0), self.metric)
-        return self._delta
-
     def _padded_mutation_state(self):
         """(delta_rows, delta_map, tomb) padded to power-of-two lengths
-        (NaN rows / -1 ids / -1 tombstones) so the fused program
-        recompiles O(log #mutations) times, not once per mutation."""
+        (NaN rows / -1 ids / -1 tombstones) so the fused programs
+        recompile O(log #mutations) times, not once per mutation.
+        Device-cached between queries (invalidated by add/remove/rebuild):
+        each host->device transfer costs a tunnel RTT."""
+        if self._mut_cache is not None:
+            return self._mut_cache
         dtype = self._base_rows.dtype
         if self._delta_rows:
             rows = np.concatenate(self._delta_rows, axis=0)
@@ -243,7 +286,18 @@ class DynamicIndex:
             tomb = jnp.asarray(tomb_np)
         else:
             tomb = None
-        return delta_rows, delta_map, tomb
+        self._mut_cache = (delta_rows, delta_map, tomb)
+        return self._mut_cache
+
+    def _base_map(self):
+        if self._base_map_dev is None:
+            self._base_map_dev = jnp.asarray(self._base_ids,
+                                             dtype=jnp.int32)
+        return self._base_map_dev
+
+    def _invalidate_caches(self) -> None:
+        self._mut_cache = None
+        self._base_map_dev = None
 
     def query_batch(self, queries, k: int):
         """Exact k nearest among live points, as ONE fused device
@@ -266,7 +320,7 @@ class DynamicIndex:
         return _fused_knn(
             base._points_perm, base._perm_norms, base._orig_ids,
             base._leaf_centroids, base._leaf_radii, base._qcenter,
-            jnp.asarray(self._base_ids, dtype=jnp.int32),
+            self._base_map(),
             delta_rows, delta_map, tomb, qs,
             k_eff=k_eff, kb=kb, kd=kd, shape=base._shape,
             metric=self.metric)
@@ -292,41 +346,28 @@ class DynamicIndex:
         reference quirk (whole-subtree takes are inclusive ``ub <= r``,
         ball_tree.rs:271-277), which applies to every BallTree point.
 
-        Each segment is over-fetched by ``len(tombstones)`` so dead rows
-        cannot crowd out live ones.  If a segment's raw within-radius
-        count exceeds even the over-fetched capacity, the returned count
-        is forced above ``cap`` — the standard enlarge-and-retry signal —
-        because the capped list (and the tombstone correction) would
-        otherwise be incomplete."""
-        qs = check_query_batch(queries, self.dim, self._base.points.dtype)
-        t = len(self._tombstones)
-        fetch = cap + t
-        bi, bc_raw = self._base.query_radius_batch(qs, distance, cap=fetch)
-        overflow = bc_raw > fetch
-        base_map = jnp.asarray(self._base_ids, dtype=jnp.int32)
-        bi = jnp.where(bi >= 0, base_map[jnp.maximum(bi, 0)], -1)
-        bc = bc_raw
+        Each segment is over-fetched by the padded tombstone count so
+        dead rows cannot crowd out live ones.  If a segment's raw
+        within-radius count exceeds even the over-fetched capacity, the
+        returned count is forced above ``cap`` — the standard
+        enlarge-and-retry signal — because the capped list (and the
+        tombstone correction) would otherwise be incomplete.
 
-        delta = self._delta_index()
-        if delta is not None:
-            di, dc_raw = delta.query_radius_batch(qs, distance, cap=fetch,
-                                                  inclusive=False)
-            overflow = overflow | (dc_raw > fetch)
-            delta_map = jnp.asarray(np.concatenate(self._delta_ids),
-                                    dtype=jnp.int32)
-            di = jnp.where(di >= 0, delta_map[jnp.maximum(di, 0)], -1)
-            bi = jnp.concatenate([bi, di], axis=1)
-            bc = bc + dc_raw
-        if t:
-            tomb = jnp.asarray(sorted(self._tombstones), dtype=jnp.int32)
-            dead = jnp.isin(bi, tomb) & (bi >= 0)
-            bc = bc - jnp.sum(dead, axis=1).astype(bc.dtype)
-            bi = jnp.where(dead, -1, bi)
-        # compact: real ids first (sort key pushes -1 entries last)
-        order = jnp.argsort(bi < 0, axis=1, stable=True)
-        bi = jnp.take_along_axis(bi, order, axis=1)[:, :cap]
-        bc = jnp.where(overflow, jnp.maximum(bc, cap + 1), bc)
-        return bi, bc
+        ONE device program per call (``_fused_radius``), like the k-NN
+        path — each extra dispatch is a tunnel RTT."""
+        qs = check_query_batch(queries, self.dim, self._base.points.dtype)
+        delta_rows, delta_map, tomb = self._padded_mutation_state()
+        t_pad = 0 if tomb is None else tomb.shape[0]
+        fetch = cap + t_pad
+        base = self._base
+        from ..ops.bruteforce import _pick_chunk
+        chunk = _pick_chunk(base.n, qs.shape[0], base.dim, None, direct=True)
+        return _fused_radius(
+            base._points_perm, base._orig_ids, base._centroids,
+            base._radii, self._base_map(), delta_rows, delta_map, tomb,
+            qs, np.asarray(distance, dtype=base.points.dtype),
+            cap=cap, fetch=fetch, shape=base._shape, metric=self.metric,
+            point_chunk=chunk)
 
     def query_radius(self, point, distance):
         """Live ids within ``distance`` (sorted)."""

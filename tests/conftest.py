@@ -33,3 +33,36 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture
+def count_device_programs():
+    """Count distinct device-program executions of a callable.
+
+    ``jax.clear_caches()`` first, so every program (eager op or jitted
+    function) misses the C++ fastpath and flows through
+    ``ExecuteReplicated.__call__`` exactly once — i.e. the count is the
+    number of DISTINCT device programs the call dispatches.  This is the
+    dispatch-count gate for the one-program-per-public-call invariant
+    (CLAUDE.md: each dispatch is a tunnel RTT on the real device)."""
+    import contextlib
+
+    import jax._src.interpreters.pxla as pxla
+
+    def run(fn):
+        jax.clear_caches()
+        state = {"n": 0}
+        orig = pxla.ExecuteReplicated.__call__
+
+        def patched(self, *a, **k):
+            state["n"] += 1
+            return orig(self, *a, **k)
+
+        with contextlib.ExitStack() as stack:
+            pxla.ExecuteReplicated.__call__ = patched
+            stack.callback(
+                lambda: setattr(pxla.ExecuteReplicated, "__call__", orig))
+            result = fn()
+        return state["n"], result
+
+    return run

@@ -427,3 +427,105 @@ class TestKernelModeXlaFallbackNaN:
         i = np.asarray(i); d = np.asarray(d)
         assert not np.isin(i, [0, 1, 2]).any()
         assert (i[:, -3:] == -1).all() and np.isinf(d[:, -3:]).all()
+
+
+class TestStreamingRadiusOps:
+    """radius_capped / radius_counts_streaming vs the dense mask oracle
+    (both new in round 3 — the mask-free memory discipline path)."""
+
+    def test_capped_matches_mask(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((300, 6)).astype(np.float32)
+        qs = rng.standard_normal((23, 6)).astype(np.float32)
+        for inclusive in (True, False):
+            mask = np.asarray(bf.radius_mask(pts, qs, 2.0,
+                                             inclusive=inclusive))
+            ids, cnt = bf.radius_capped(pts, qs, 2.0, cap=300,
+                                        inclusive=inclusive, chunk=64)
+            ids, cnt = np.asarray(ids), np.asarray(cnt)
+            np.testing.assert_array_equal(cnt, mask.sum(1))
+            for row in range(len(qs)):
+                got = ids[row][ids[row] >= 0]
+                np.testing.assert_array_equal(got, np.flatnonzero(mask[row]))
+                # ascending id order contract
+                assert (np.diff(got) > 0).all()
+
+    def test_counts_streaming_matches_mask(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((257, 4)).astype(np.float32)
+        qs = rng.standard_normal((9, 4)).astype(np.float32)
+        mask = np.asarray(bf.radius_mask(pts, qs, 1.5))
+        cnt = np.asarray(bf.radius_counts_streaming(pts, qs, 1.5, chunk=50))
+        np.testing.assert_array_equal(cnt, mask.sum(1))
+
+    def test_cap_truncation_keeps_exact_counts(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((200, 3)).astype(np.float32)
+        qs = pts[:5]
+        mask = np.asarray(bf.radius_mask(pts, qs, 3.0))
+        ids, cnt = bf.radius_capped(pts, qs, 3.0, cap=4, chunk=32)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        np.testing.assert_array_equal(cnt, mask.sum(1))       # exact past cap
+        for row in range(5):
+            want = np.flatnonzero(mask[row])[:4]
+            got = ids[row][ids[row] >= 0]
+            np.testing.assert_array_equal(got, want)          # first-4 by id
+
+    def test_nan_and_invalid_rows_never_match(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((64, 3)).astype(np.float32)
+        import jax.numpy as jnp
+        pts[7] = np.nan
+        invalid = np.zeros(64, bool); invalid[12] = True
+        qs = pts[:3]
+        ids, cnt = bf.radius_capped(pts, qs, 10.0, cap=64,
+                                    invalid=jnp.asarray(invalid), chunk=16)
+        ids = np.asarray(ids)
+        assert not np.isin([7, 12], ids[ids >= 0]).any()
+
+    def test_distances_at(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        from petal_neighbors_tpu.distance import Euclidean, Manhattan
+        pts = rng.standard_normal((90, 5)).astype(np.float32)
+        qs = rng.standard_normal((11, 5)).astype(np.float32)
+        import jax.numpy as jnp
+        ids = rng.integers(0, 90, (11, 6)).astype(np.int32)
+        ids[0, 2] = -1
+        for metric in (Euclidean(), Manhattan()):
+            d = np.asarray(bf.distances_at(pts, qs, jnp.asarray(ids),
+                                           metric))
+            for row in range(11):
+                for col in range(6):
+                    j = ids[row, col]
+                    if j < 0:
+                        assert d[row, col] == np.inf
+                    else:
+                        want = float(metric.distance(qs[row], pts[j]))
+                        assert d[row, col] == pytest.approx(want, rel=1e-5)
+
+
+class TestInvalidQueryPolicy:
+    """XLA paths now mirror the fused kernel's (+inf, -1) policy for
+    queries whose distance to EVERY point is NaN (round-2 advisor:
+    zero-norm cosine queries returned arbitrary real ids by backend)."""
+
+    def test_nan_query_euclidean_xla(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((50, 4)).astype(np.float32)
+        qs = rng.standard_normal((3, 4)).astype(np.float32)
+        qs[1, 2] = np.nan
+        d, i = bf.knn(pts, qs, 5, backend="xla")
+        d, i = np.asarray(d), np.asarray(i)
+        assert (i[1] == -1).all() and (d[1] == np.inf).all()
+        assert (i[0] >= 0).all() and (i[2] >= 0).all()
+
+    def test_zero_norm_cosine_matches_kernel_policy(self, rng):
+        from petal_neighbors_tpu.distance import Cosine
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        pts = rng.standard_normal((40, 8)).astype(np.float32)
+        qs = rng.standard_normal((3, 8)).astype(np.float32)
+        qs[0] = 0.0                                  # zero norm: 0/0 -> NaN
+        d, i = bf.knn(pts, qs, 4, Cosine(), backend="xla")
+        d, i = np.asarray(d), np.asarray(i)
+        assert (i[0] == -1).all() and (d[0] == np.inf).all()
+        assert (i[1:] >= 0).all()

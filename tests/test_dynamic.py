@@ -56,7 +56,7 @@ class TestDynamic:
         pts = rng.uniform(0, 1, (40, 2)).astype(np.float32)
         idx = DynamicIndex(pts, rebuild_threshold=0.2)
         idx.add(rng.uniform(0, 1, (20, 2)).astype(np.float32))  # 50% > 20%
-        assert idx._delta is None            # folded into the base
+        assert idx._delta_rows == []         # folded into the base
         assert idx._base.n == 60
 
     def test_second_rebuild_keeps_dead(self, rng):
@@ -188,3 +188,52 @@ class TestRadiusBoundaryUnification:
         d.rebuild()
         got2 = d.query_radius(q, r)
         assert iid in got2
+
+
+class TestFusedRadiusSingleDispatch:
+    """Round-3 item: the radius path is ONE fused device program like the
+    k-NN path (was base dispatch + delta dispatch + host merge)."""
+
+    def _mutated_index(self, rng):
+        pts = rng.uniform(0, 1, (120, 3)).astype(np.float32)
+        idx = DynamicIndex(pts, rebuild_threshold=10.0)
+        idx.add(rng.uniform(0, 1, (17, 3)).astype(np.float32))
+        idx.remove([3, 60, 121])
+        return idx
+
+    def test_radius_is_one_program(self, rng, count_device_programs):
+        idx = self._mutated_index(rng)
+        qs = np.asarray(idx._base_rows[:8])
+        idx.query_radius_batch(qs, 0.3, cap=64)      # warm caches/transfers
+        n, _ = count_device_programs(
+            lambda: np.asarray(idx.query_radius_batch(qs, 0.3, cap=64)[0]))
+        assert n == 1, f"radius dispatched {n} device programs, want 1"
+
+    def test_knn_is_one_program(self, rng, count_device_programs):
+        idx = self._mutated_index(rng)
+        qs = np.asarray(idx._base_rows[:8])
+        idx.query_batch(qs, 5)
+        n, _ = count_device_programs(
+            lambda: np.asarray(idx.query_batch(qs, 5)[0]))
+        assert n == 1, f"knn dispatched {n} device programs, want 1"
+
+    def test_fused_radius_matches_manual_merge(self, rng):
+        """Exactness of the fused program vs a host-side oracle over the
+        live rows (inclusive-take quirk only reachable via base tree)."""
+        idx = self._mutated_index(rng)
+        qs = rng.uniform(0, 1, (15, 3)).astype(np.float32)
+        rows = np.concatenate([idx._base_rows]
+                              + idx._delta_rows).astype(np.float64)
+        ids_all = np.concatenate([idx._base_ids]
+                                 + idx._delta_ids)
+        live = ~np.isin(ids_all, sorted(idx._tombstones))
+        d = np.sqrt(((qs[:, None].astype(np.float64)
+                      - rows[None]) ** 2).sum(-1))
+        ids, cnt = idx.query_radius_batch(qs, 0.35, cap=200)
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        for row in range(len(qs)):
+            got = np.sort(ids[row][ids[row] >= 0])
+            # boundary-agnostic check: no point sits exactly at r here
+            want = np.sort(ids_all[live & (d[row] < 0.35)])
+            np.testing.assert_array_equal(got, want)
+            assert cnt[row] == len(want)

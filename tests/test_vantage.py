@@ -326,3 +326,52 @@ class TestFlatEnginePartialChunk:
                 assert len(set(ii[r].tolist())) == 5, (C, r, ii[r])
             np.testing.assert_allclose(np.asarray(dd) ** 2, oracle,
                                        rtol=1e-9)
+
+
+class TestVectorizedFlatten:
+    """Round-3: the per-node Python flatten became ~log n numpy level
+    ops.  The vectorized tables must be semantically identical to the
+    reference walk (same trunk set, same cut-subtree member sets, same
+    constraint sets per subtree — numbering/order is free)."""
+
+    @pytest.mark.parametrize("n,target", [(1, 1), (7, 2), (128, 16),
+                                          (513, 64), (2000, 64)])
+    def test_equivalent_to_reference_walk(self, rng, n, target):
+        from petal_neighbors_tpu.distance import Euclidean
+        from petal_neighbors_tpu.trees import vantage as V
+        pts = rng.standard_normal((n, 3)).astype(np.float32)
+        vp, radius, near, far, root, _ = V._build_host(pts, Euclidean())
+        a = V._flatten_for_query(vp, radius, near, far, root,
+                                 target=target)
+        b = V._flatten_for_query_reference(vp, radius, near, far, root,
+                                           target=target)
+        assert set(a[0].tolist()) == set(b[0].tolist())
+
+        def table(flat):
+            tp, mem, at, an, ar = flat
+            out = {}
+            for i in range(mem.shape[0]):
+                row = mem[i][mem[i] >= 0]
+                if not len(row):
+                    continue
+                cons = frozenset(
+                    (int(tp[at[i, j]]), bool(an[i, j]), float(ar[i, j]))
+                    for j in range(at.shape[1]) if np.isfinite(ar[i, j]))
+                out[frozenset(row.tolist())] = cons
+            return out
+
+        assert table(a) == table(b)
+
+    def test_save_load_round_trips_flat_tables(self, rng, tmp_path):
+        from petal_neighbors_tpu import VantagePointTree, load_index
+        pts = rng.standard_normal((300, 4)).astype(np.float32)
+        qs = rng.standard_normal((20, 4)).astype(np.float32)
+        t = VantagePointTree(pts)
+        d0, i0 = t.query_batch(qs, 5)
+        p = tmp_path / "vp.npz"
+        t.save(p)
+        t2 = load_index(p)
+        assert t2._flat is not None          # v3: tables restored, no re-flatten
+        d1, i1 = t2.query_batch(qs, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
