@@ -227,8 +227,14 @@ class BallTree:
     # batched API (the TPU path)
     # ------------------------------------------------------------------
     def query_batch(self, queries, k: int, *, chunk_leaves: int = 4,
-                    with_stats: bool = False):
+                    with_stats: bool = False, scheme: str = "auto"):
         """Exact batched k-NN: (distances, indices), each (Q, min(k, n)).
+
+        ``scheme``: "auto" picks the TILE-SHARED leaf frontier
+        (``ball_query.knn_query_tiled`` — queries locality-sorted, each
+        tile sharing one leaf visit order, min-extraction merge) for
+        low-dim small-k large batches, else the per-query best-first
+        scan; "per_query" / "tiled" force one.
 
         ``with_stats=True`` additionally returns an observability dict
         (SURVEY.md §5): chunks processed, per-query surviving-leaf counts,
@@ -240,6 +246,24 @@ class BallTree:
             empty = (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
                      jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
             return (*empty, {}) if with_stats else empty
+        if scheme not in ("auto", "per_query", "tiled"):
+            raise ValueError(f"unknown scheme {scheme!r}")
+        if scheme == "auto":
+            from ..distance import DIRECT_DIM_MAX
+            # tiled wins when leaves are shared between neighboring
+            # queries and the min-extraction merge is cheap: low dim
+            # (direct-form distances, no rescore machinery needed),
+            # small k, batch large enough to fill tiles
+            scheme = ("tiled" if (self.dim <= 32 and k_eff <= 16
+                                  and qs.shape[0] >= 512
+                                  and isinstance(self.metric, Euclidean))
+                      else "per_query")
+        if scheme == "tiled":
+            return ball_query.knn_query_tiled(
+                self._points_perm, self._perm_norms, self._orig_ids,
+                self._leaf_centroids, self._leaf_radii, qs, self._qcenter,
+                k=k_eff, shape=self._shape, metric=self.metric,
+                chunk_leaves=chunk_leaves, with_stats=with_stats)
         return self._knn(qs, k_eff, chunk_leaves=chunk_leaves,
                          with_stats=with_stats)
 

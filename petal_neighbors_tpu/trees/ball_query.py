@@ -212,6 +212,165 @@ def knn_query(points_perm, perm_norms, orig_ids, leaf_centroids, leaf_radii,
     return dists, best_ii, stats
 
 
+def _merge_small_k(rd, ids, best_rd, best_ii, k: int):
+    """Merge new candidates into the running top-k by k-pass
+    min-extraction instead of ``lax.top_k`` — pure elementwise min/argmin
+    that XLA fuses, avoiding the TopK custom call that dominated the
+    leaf-scan loop at tiny k (config1 is k=2)."""
+    d = jnp.concatenate([rd, best_rd], axis=-1)
+    i = jnp.concatenate([ids, best_ii], axis=-1)
+    w = d.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    out_d = []
+    out_i = []
+    for _ in range(k):
+        m = jnp.min(d, axis=-1)
+        am = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        out_d.append(m)
+        out_i.append(jnp.take_along_axis(i, am[..., None], axis=-1)[..., 0])
+        d = jnp.where(col == am[..., None], jnp.inf, d)
+    return jnp.stack(out_d, axis=-1), jnp.stack(out_i, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "shape", "chunk_leaves", "metric",
+                                   "tile_q", "with_stats"))
+def knn_query_tiled(points_perm, perm_norms, orig_ids, leaf_centroids,
+                    leaf_radii, queries, center=None, *, k: int,
+                    shape: TreeShape, metric: Metric,
+                    chunk_leaves: int = 4, tile_q: int = 256,
+                    with_stats: bool = False):
+    """Exact batched k-NN with a TILE-SHARED leaf frontier (round-3
+    redesign of the lockstep leaf scan for low-dim workloads).
+
+    The per-query scheme (``knn_query``) gathers each query's own next
+    leaves: a (Q, C, M, d) gather from HBM per loop step — 40 MB/step at
+    the config1 shape, repeated for the lockstep maximum of steps.  Here
+    queries are first SORTED BY LOCALITY (by their best-bound leaf id),
+    then each tile of ``tile_q`` neighbors shares ONE leaf visit order
+    (ascending min-over-tile lower bound): the gather shrinks to
+    (T, C, M, d) — a factor tile_q less data — and every gathered leaf
+    is reused by all tile_q queries while it sits in registers/VMEM.
+
+    Exactness: the loop stops only when, for every query, the next
+    shared leaf's TILE bound exceeds its k-th distance; the tile bound
+    is a min over the tile, hence <= the query's own bound, so every
+    leaf the reference traversal would scan is scanned (the same
+    prune-only-when-lb-exceeds-kth argument, ball_tree.rs:212-214; only
+    visit order and wasted visits differ).  Results are re-permuted to
+    the caller's query order.
+
+    The top-k merge is k-pass min-extraction (``_merge_small_k``), not
+    ``lax.top_k`` — intended for small k (<= ~16); callers route large k
+    to ``knn_query``.
+    """
+    n, dim = points_perm.shape
+    q = queries.shape[0]
+    L = shape.n_leaves
+    max_leaf = shape.max_leaf_points
+    dtype = points_perm.dtype
+    qc = queries if center is None else queries - center
+    lc = leaf_centroids if center is None else leaf_centroids - center
+
+    # --- bounds to every leaf ball (one matmul), as in knn_query --------
+    d_c = _guarded_centroid_dist(qc, lc, metric)
+    lb = jnp.maximum(d_c - leaf_radii[None, :], 0.0)
+    lb = jnp.maximum(lb - _bound_slack(dtype) * (d_c + leaf_radii[None, :]),
+                     0.0)
+    lb = jnp.where(jnp.isnan(lb), 0.0, lb)
+
+    # --- locality sort: group queries by their best leaf ----------------
+    tq = max(1, min(tile_q, q))
+    T = -(-q // tq)
+    qpad = T * tq - q
+    best_leaf = jnp.argmin(lb, axis=1).astype(jnp.int32)
+    qorder = jnp.argsort(best_leaf, stable=True).astype(jnp.int32)
+    if qpad:
+        # pad with repeats of the last query: harmless extra work
+        qorder = jnp.concatenate(
+            [qorder, jnp.broadcast_to(qorder[-1:], (qpad,))])
+    qs_s = queries[qorder]                                    # (T*tq, d)
+    lb_s = lb[qorder].reshape(T, tq, L)
+    lb_tile = jnp.min(lb_s, axis=1)                           # (T, L)
+
+    order_t = jnp.argsort(lb_tile, axis=1).astype(jnp.int32)  # (T, L)
+    lbt_sorted = jnp.take_along_axis(lb_tile, order_t, axis=1)
+
+    C = max(1, min(chunk_leaves, L))
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    if pad:
+        order_t = jnp.pad(order_t, ((0, 0), (0, pad)), constant_values=L)
+        lbt_sorted = jnp.pad(lbt_sorted, ((0, 0), (0, pad)),
+                             constant_values=jnp.inf)
+
+    starts_np, counts_np = _leaf_tables(shape)
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
+    m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
+    qs_t = qs_s.reshape(T, tq, dim)
+
+    def kth_dist(best_rd):
+        return metric.rdistance_to_distance(best_rd[..., -1])  # (T, tq)
+
+    def cond(state):
+        best_rd, _, ci = state
+        nxt = jax.lax.dynamic_slice(lbt_sorted, (jnp.int32(0), ci * C),
+                                    (T, 1))[:, 0]              # (T,)
+        return (ci < n_chunks) & jnp.any(
+            nxt[:, None] <= kth_dist(best_rd))
+
+    def body(state):
+        best_rd, best_ii, ci = state
+        leaf_ids = jax.lax.dynamic_slice(order_t, (jnp.int32(0), ci * C),
+                                         (T, C))               # (T, C)
+        s = leaf_start[leaf_ids]
+        cnt = leaf_count[leaf_ids]
+        pos = s[..., None] + m_ar[None, None, :]               # (T, C, M)
+        valid = m_ar[None, None, :] < cnt[..., None]
+        pos = jnp.where(valid, pos, 0)
+        pts = points_perm[pos]                                 # (T, C, M, d)
+        if isinstance(metric, Euclidean) and dim <= DIRECT_DIM_MAX:
+            diff = pts[:, None] - qs_t[:, :, None, None, :]    # (T,tq,C,M,d)
+            rd = jnp.sum(diff * diff, axis=-1)
+        else:
+            flat = pts.reshape(T, C * max_leaf, dim)
+            rd = jax.vmap(lambda qq, xx: metric.rdist(qq, xx))(
+                qs_t, flat).reshape(T, tq, C, max_leaf)
+        rd = jnp.where(valid[:, None], nan_to_inf(rd),
+                       jnp.inf).reshape(T, tq, C * max_leaf)
+        pids = jnp.broadcast_to(
+            jnp.where(valid, pos, -1)[:, None],
+            (T, tq, C, max_leaf)).reshape(T, tq, C * max_leaf)
+        best_rd, best_ii = _merge_small_k(rd, pids, best_rd, best_ii, k)
+        return best_rd, best_ii, ci + 1
+
+    init = (jnp.full((T, tq, k), jnp.inf, dtype=dtype),
+            jnp.full((T, tq, k), -1, dtype=jnp.int32),
+            jnp.int32(0))
+    best_rd, best_pos, chunks_done = jax.lax.while_loop(cond, body, init)
+
+    best_rd = best_rd.reshape(T * tq, k)[: q + qpad]
+    best_pos = best_pos.reshape(T * tq, k)[: q + qpad]
+    # un-permute to caller order (padded repeats drop out)
+    inv = jnp.zeros((q,), dtype=jnp.int32).at[qorder[:q + qpad]].set(
+        jnp.arange(q + qpad, dtype=jnp.int32), mode="drop")
+    best_rd = best_rd[inv]
+    best_pos = best_pos[inv]
+
+    best_ii = jnp.where(best_pos >= 0, orig_ids[jnp.maximum(best_pos, 0)],
+                        -1)
+    dists = monotone_distances(metric.rdistance_to_distance(best_rd))
+    if not with_stats:
+        return dists, best_ii
+    stats = {
+        "n_leaves": jnp.int32(L),
+        "loop_chunks": chunks_done,
+        "chunk_leaves": jnp.int32(C),
+        "n_tiles": jnp.int32(T),
+    }
+    return dists, best_ii, stats
+
+
 def _direct_dist_chunked(queries, rows, metric: Metric, chunk: int):
     """(Q, m) distances via the DIRECT difference form, streamed over row
     chunks — exact to rounding at any dim.  Radius semantics (strict d < r

@@ -156,7 +156,7 @@ class BruteForce:
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.num_points)
         if (self._pallas_pts is not None
-                and 1 <= k_eff <= 1024 - bf.RESCORE_SLACK):
+                and 1 <= k_eff <= bf.PALLAS_K_MAX):
             try:
                 # no split planes (over SPLIT_BUDGET_ELEMS): query at
                 # "highest" rather than re-deriving them per call

@@ -486,3 +486,36 @@ class TestRemainingContracts:
         d2, _ = bf.knn(pts, qs, 4, backend="xla", rescore=False)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    rtol=1e-3)
+
+
+class TestTiledScheme:
+    """Round-3 tile-shared leaf frontier: locality-sorted queries share
+    one leaf visit order per tile — must stay exact vs brute force."""
+
+    @pytest.mark.parametrize("n,d,q,k,leaf", [
+        (5000, 2, 1024, 2, 128), (3000, 3, 700, 5, 64),
+        (2000, 2, 600, 16, 32), (999, 2, 513, 1, 128),
+    ])
+    def test_exact_vs_brute(self, rng, n, d, q, k, leaf):
+        from petal_neighbors_tpu import BruteForce
+        pts = rng.uniform(0, 1, (n, d)).astype(np.float32)
+        pts[17] = np.nan
+        qs = rng.uniform(0, 1, (q, d)).astype(np.float32)
+        t = BallTree.euclidean(pts, leaf_size=leaf)
+        d_t, i_t = t.query_batch(qs, k, scheme="tiled")
+        d_b, i_b = BruteForce.euclidean(pts).query_batch(qs, k)
+        d_t, d_b = np.asarray(d_t), np.asarray(d_b)
+        np.testing.assert_allclose(d_t, d_b, rtol=1e-6)
+        # same neighbor sets wherever distances are distinct
+        i_t, i_b = np.asarray(i_t), np.asarray(i_b)
+        dist_ok = np.isclose(np.sort(d_t, 1), d_b, rtol=1e-6)
+        assert dist_ok[np.isfinite(d_b)].all()
+
+    def test_schemes_agree(self, rng):
+        pts = rng.uniform(0, 1, (4000, 2)).astype(np.float32)
+        qs = rng.uniform(0, 1, (800, 2)).astype(np.float32)
+        t = BallTree.euclidean(pts, leaf_size=64)
+        d1, _ = t.query_batch(qs, 4, scheme="tiled")
+        d2, _ = t.query_batch(qs, 4, scheme="per_query")
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-6)
