@@ -59,6 +59,10 @@ def _pick_chunk(n: int, q: int, dim: int, chunk: int | None,
 
 RESCORE_SLACK = 8
 
+#: test hook: run Pallas kernels in interpret mode (CPU) so the kernel
+#: integration paths are exercisable off-TPU (tests/conftest fixtures)
+FORCE_INTERPRET = False
+
 
 @partial(jax.jit, static_argnames=("tn", "with_split"))
 def prepare_euclidean_index(points, tn: int, with_split: bool = True):
@@ -380,6 +384,45 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     best_rd, best_i = jax.lax.cond(
         ok, lambda _: (best_rd, best_i), precise, operand=None)
     return to_out(best_rd), best_i
+
+
+@partial(jax.jit, static_argnames=("tn",))
+def prepare_lp_index(points, tn: int):
+    """One jitted program deriving the Lp-kernel-resident arrays:
+    NaN-zeroed padded points + the additive +inf exclusion mask + the
+    NaN-row flags (for the XLA fallback's ``invalid``)."""
+    from .pallas.lp_kernel import pad_for_lp
+
+    bad = jnp.any(jnp.isnan(points), axis=-1)
+    ppad, mask = pad_for_lp(points, tn=tn, bad=bad)
+    return ppad, mask, bad
+
+
+@partial(jax.jit, static_argnames=("k_eff", "n_real", "spec", "metric",
+                                   "tq", "tn", "interpret"))
+def lp_knn_prepadded(pts_padded, mask, queries, k_eff: int, n_real: int,
+                     *, spec, metric: Metric, tq: int | None = None,
+                     tn: int = 512, interpret: bool = False):
+    """Fused Lp/Chebyshev k-NN over an index padded by ``pad_for_lp`` —
+    the generic-metric analogue of ``knn_pallas_prepadded``.  No rescore
+    or proof machinery: the direct power-sum is exact to f32 rounding
+    (no cancellation), so the kernel's reduced distances are final;
+    conversion (p-th root) happens here with the ascending clamp."""
+    from .pallas.lp_kernel import lp_knn_pallas
+
+    q = queries.shape[0]
+    if tq is None:
+        base_tq = 128 if k_eff <= 1024 else 64
+        tq = base_tq if q >= base_tq else -(-q // 8) * 8
+    qpad = (-q) % tq
+    qs = jnp.pad(queries, ((0, qpad), (0, 0)),
+                 constant_values=jnp.nan) if qpad else queries
+    rd, idx = lp_knn_pallas(pts_padded, mask, qs, k=k_eff, spec=spec,
+                            tq=tq, tn=tn, interpret=interpret)
+    rd, idx = rd[:q], idx[:q]
+    idx = jnp.where(idx < n_real, idx, -1)
+    rd = jnp.where(idx < 0, jnp.inf, rd)
+    return monotone_distances(metric.rdistance_to_distance(rd)), idx
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk", "rescore"))

@@ -28,6 +28,10 @@ class BruteForce:
     #: chip) — queries then run the kernel at "highest" precision
     SPLIT_BUDGET_ELEMS = 512 * (1 << 20)
 
+    #: point-chunk tile of the Lp kernel (VMEM-bounded: the (tq, nb, d)
+    #: difference block is the working set, not the score tile)
+    LP_TILE_N = 512
+
     def __init__(self, points, metric: Metric | str = "euclidean"):
         self.metric = get_metric(metric)
         # The matmul distance form needs centered data for exactness
@@ -50,7 +54,10 @@ class BruteForce:
         #: copy unchanged (cosine is scale-invariant; zeroed NaN/zero-norm
         #: rows give NaN -> +inf there, plus the invalid mask).
         self._cosine_kernel = False
+        #: generic-metric (Lp/Chebyshev) fused-kernel state
+        self._lp_pts = self._lp_mask = self._lp_spec = None
         from ..distance import DIRECT_DIM_MAX, Cosine
+        from ..ops.pallas.lp_kernel import lp_spec_for
         probe = check_points_host(points)
         self.metric.validate_dim(probe.shape[1])
         high_dim = probe.shape[1] > DIRECT_DIM_MAX
@@ -58,7 +65,21 @@ class BruteForce:
         cosine_kernel_ok = (
             type(self.metric) is Cosine and high_dim
             and bf._pallas_eligible(probe, probe[:1], 1, Euclidean()))
-        if cosine_kernel_ok:
+        lp_spec = lp_spec_for(self.metric)
+        from ..ops.pallas.knn_kernel import pallas_available
+        lp_kernel_ok = (lp_spec is not None and high_dim
+                        and probe.shape[0] >= 4096
+                        and np.dtype(probe.dtype) == np.float32
+                        and pallas_available())
+        if lp_kernel_ok:
+            # Lp fused path (round-3): NaN-zeroed padded points + the
+            # +inf exclusion mask are the only resident copies
+            self.points = probe                    # public, original data
+            (self._lp_pts, self._lp_mask,
+             self._invalid) = bf.prepare_lp_index(probe, self.LP_TILE_N)
+            self._lp_spec = lp_spec
+            self._qpoints = None                   # lazy: _lp_pts[:n]
+        elif cosine_kernel_ok:
             self.points = probe                    # public, original data
             n, d = probe.shape
             with_split = n * d <= self.SPLIT_BUDGET_ELEMS
@@ -112,17 +133,22 @@ class BruteForce:
 
     def _xla_points(self):
         """Device points for the XLA/radius paths.  In kernel mode only
-        the padded centered copy is resident (HBM discipline) — slice it
-        (a transient copy, paid only when these paths actually run).
-        NaN rows are zeroed there with +inf norms / an invalid mask, so
-        the NaN-never-matches contract still holds on every path."""
+        the padded (centered / NaN-zeroed) copy is resident (HBM
+        discipline) — slice it (a transient copy, paid only when these
+        paths actually run).  NaN rows are zeroed there with +inf norms
+        / an invalid mask, so the NaN-never-matches contract still holds
+        on every path."""
         if self._qpoints is not None:
             return self._qpoints
+        if self._lp_pts is not None:
+            return self._lp_pts[:self.num_points]
         return self._pallas_pts[:self.num_points]
 
     def _xla_norms(self):
         if self._qpoints is not None:
             return self.point_norms
+        if self._lp_pts is not None:
+            return None
         return self._pallas_norms[:self.num_points]
 
     # -- single-query API (reference-shaped) ------------------------------
@@ -155,6 +181,17 @@ class BruteForce:
     def query_batch(self, queries, k: int, *, chunk: int | None = None):
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.num_points)
+        if self._lp_spec is not None and 1 <= k_eff <= 4096:
+            try:
+                d, i = bf.lp_knn_prepadded(
+                    self._lp_pts, self._lp_mask, qs, k_eff,
+                    self.num_points, spec=self._lp_spec,
+                    metric=self.metric, tn=self.LP_TILE_N,
+                    interpret=bf.FORCE_INTERPRET)
+                self.last_backend = "pallas"
+                return d, i
+            except Exception as exc:
+                bf.warn_pallas_fallback(exc)
         if (self._pallas_pts is not None
                 and 1 <= k_eff <= bf.PALLAS_K_MAX):
             try:

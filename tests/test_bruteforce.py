@@ -529,3 +529,49 @@ class TestInvalidQueryPolicy:
         d, i = np.asarray(d), np.asarray(i)
         assert (i[0] == -1).all() and (d[0] == np.inf).all()
         assert (i[1:] >= 0).all()
+
+
+class TestLpKernelIntegration:
+    """Round-3 generic-metric fused path: BruteForce with Minkowski /
+    Manhattan / Chebyshev at high dim routes through the Lp Pallas
+    kernel (interpret mode on CPU) and stays exact vs the XLA path."""
+
+    @pytest.mark.parametrize("metric", ["minkowski3", "manhattan",
+                                        "chebyshev"])
+    def test_exact_vs_xla(self, rng, metric, monkeypatch):
+        from petal_neighbors_tpu import BruteForce
+        from petal_neighbors_tpu.distance import (Chebyshev, Manhattan,
+                                                  Minkowski)
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        from petal_neighbors_tpu.ops.pallas import knn_kernel
+        m = {"minkowski3": Minkowski(3.0), "manhattan": Manhattan(),
+             "chebyshev": Chebyshev()}[metric]
+        monkeypatch.setattr(knn_kernel, "pallas_available", lambda: True)
+        monkeypatch.setattr(bf, "FORCE_INTERPRET", True)
+        pts = rng.standard_normal((4608, 48)).astype(np.float32)
+        pts[11] = np.nan
+        qs = rng.standard_normal((40, 48)).astype(np.float32)
+        idx = BruteForce(pts, m)
+        assert idx._lp_spec is not None
+        d_k, i_k = idx.query_batch(qs, 7)
+        assert idx.last_backend == "pallas"
+        d_x, i_x = bf.knn(pts, qs, 7, m, backend="xla")
+        np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x),
+                                   rtol=1e-5, atol=1e-5)
+        fin = np.isfinite(np.asarray(d_x))
+        assert (np.asarray(i_k) == np.asarray(i_x))[fin].mean() > 0.99
+
+    def test_radius_paths_still_exact_in_lp_mode(self, rng, monkeypatch):
+        from petal_neighbors_tpu import BruteForce
+        from petal_neighbors_tpu.distance import Minkowski
+        from petal_neighbors_tpu.ops.pallas import knn_kernel
+        monkeypatch.setattr(knn_kernel, "pallas_available", lambda: True)
+        pts = rng.standard_normal((4608, 40)).astype(np.float32)
+        pts[3] = np.nan
+        idx = BruteForce(pts, Minkowski(3.0))
+        qs = pts[5:8]
+        ids = idx.query_radius(qs[0], 10.0)
+        diff = np.abs(qs[0].astype(np.float64) - pts.astype(np.float64))
+        d = (diff ** 3).sum(-1) ** (1 / 3)
+        want = np.flatnonzero(np.where(np.isnan(d), np.inf, d) <= 10.0)
+        np.testing.assert_array_equal(ids, want)
