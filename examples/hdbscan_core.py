@@ -14,9 +14,11 @@ device:
   (the single-linkage backbone of HDBSCAN), a single jitted
   ``fori_loop`` on device (n-1 argmin/relax steps over (n,) vectors).
 
-O(n^2) memory in the matrix stages — the MST-backbone regime (<= ~30k
-points on one chip); larger n should feed Boruvka rounds from the
-dual-tree join directly.
+The matrix stages are O(n^2) memory (<= ~30k points on one chip); the
+SCALABLE path (round 3) is ``mst_edges_scalable`` — device-side Borůvka
+rounds fed by the dual-tree join (``trees.boruvka``), no dense matrix,
+1M+ points — plus ``single_linkage`` turning the MST into the
+scipy-format dendrogram HDBSCAN condenses.
 
 Run:  python examples/hdbscan_core.py
 """
@@ -108,6 +110,47 @@ def mst_edges(points, k: int):
     return [(int(u), int(v), float(w))
             for u, v, w in zip(np.asarray(us), np.asarray(vs),
                                np.asarray(ws))]
+
+
+def mst_edges_scalable(points, k: int, *, leaf_size: int = 128):
+    """Mutual-reachability MST without the dense matrix: core distances
+    via ONE dual-tree self-join, then ~log2(n) device-side Borůvka
+    rounds (trees.boruvka) — the 1M+-point HDBSCAN backbone.  Returns
+    (us, vs, ws) numpy arrays."""
+    from petal_neighbors_tpu import mutual_reachability_mst
+
+    return mutual_reachability_mst(np.asarray(points), k,
+                                   leaf_size=leaf_size)
+
+
+def single_linkage(us, vs, ws, n: int) -> np.ndarray:
+    """Scipy-format linkage matrix (n-1, 4) from MST edges: the
+    single-linkage dendrogram over mutual reachability — the structure
+    HDBSCAN condenses into clusters.  Host union-find over the
+    weight-sorted edges (O(n α(n)); the heavy lifting — the MST itself —
+    stayed on device)."""
+    order = np.argsort(ws, kind="stable")
+    parent = np.arange(2 * n - 1)
+    size = np.concatenate([np.ones(n, np.int64),
+                           np.zeros(n - 1, np.int64)])
+    Z = np.zeros((n - 1, 4))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nxt = n
+    for t, e in enumerate(order):
+        ra, rb = find(int(us[e])), find(int(vs[e]))
+        Z[t] = [min(ra, rb), max(ra, rb), ws[e], size[ra] + size[rb]]
+        parent[ra] = parent[rb] = nxt
+        size[nxt] = size[ra] + size[rb]
+        nxt += 1
+    return Z
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
                        Metric, Minkowski, SqEuclidean, pairwise)
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
 from .trees import (BallTree, BruteForce, DynamicIndex, VantagePointTree,
+                    boruvka_mst, mutual_reachability_mst,
                     dual_tree_knn)
 from .sklearn import NearestNeighbors
 from .utils.serialize import load_index, save_index
@@ -27,6 +28,8 @@ from .utils.serialize import load_index, save_index
 __version__ = "0.1.0"
 
 __all__ = [
+    "boruvka_mst",
+    "mutual_reachability_mst",
     "NearestNeighbors",
     "distance",
     "Metric",
