@@ -319,6 +319,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     dim = pts_padded.shape[1]
     q = queries.shape[0]
     k_scan = min(k_eff + RESCORE_SLACK, n_real)
+    if scheme == "merge" and k_scan > 1024:
+        # large-k merge blocks want a 128-multiple lane dimension
+        # (Mosaic block-shape constraint); extra slack is harmless —
+        # rescore slices back to k_eff
+        k_scan = min(max(-(-k_scan // 128) * 128, 128), 4096)
+        k_scan = max(k_scan, k_eff)
     if tq is None:
         # 256 measured best at small k on the 1M x 128 headline; at
         # k > 128 the per-extraction working-set passes scale with tq·k

@@ -162,7 +162,7 @@ def _knn_kernel(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
             od, oi = best_d[:], best_i[:]
         # u -> squared distance at the boundary; clamp the rounding
         # residue of near-duplicates to keep rdist >= 0
-        out_d_ref[:] = jnp.maximum(od + qn_ref[:].T, 0.0)
+        out_d_ref[:] = jnp.maximum(od + qn_ref[:], 0.0)
         out_i_ref[:] = oi
 
 
@@ -181,6 +181,12 @@ def _sort_working_set(bd, bi, k: int):
         oi = jnp.where(kcol == j, idx_at[:, None], oi)
         bd = jnp.where(kcol == am[:, None], jnp.inf, bd)
     return od, oi
+
+
+def _last_col(x):
+    """x[:, -1] as an explicit STATIC slice: the sugar form lowers to
+    dynamic_slice inside pallas while_loops, which Mosaic rejects."""
+    return jax.lax.slice_in_dim(x, x.shape[1] - 1, x.shape[1], axis=1)[:, 0]
 
 
 def _next_pow2(x: int) -> int:
@@ -209,19 +215,29 @@ def _bitonic_merge_sorted(bd, bi, buf_d, buf_i, k: int):
         + [buf_i]
     cd = jnp.concatenate(parts_d, axis=1)
     ci = jnp.concatenate(parts_i, axis=1)
+    # Compare-exchange via lane ROLLS + iota masks, not reshapes: Mosaic
+    # rejects the (tq, P/2s, 2, s) shape cast ("infer-vector-layout:
+    # unsupported shape cast") but lowers lane rotates natively.  At
+    # stage stride s, lane i pairs with i^s: the partner value arrives
+    # by rolling left (first half of each 2s block) or right (second
+    # half); rolls never cross a block boundary because P % 2s == 0.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, P), 1)
     s = P // 2
     while s >= 1:
-        cd4 = cd.reshape(tq, P // (2 * s), 2, s)
-        ci4 = ci.reshape(tq, P // (2 * s), 2, s)
-        lo_d, hi_d = cd4[:, :, 0, :], cd4[:, :, 1, :]
-        lo_i, hi_i = ci4[:, :, 0, :], ci4[:, :, 1, :]
-        swap = hi_d < lo_d
-        nlo_d = jnp.where(swap, hi_d, lo_d)
-        nhi_d = jnp.where(swap, lo_d, hi_d)
-        nlo_i = jnp.where(swap, hi_i, lo_i)
-        nhi_i = jnp.where(swap, lo_i, hi_i)
-        cd = jnp.stack([nlo_d, nhi_d], axis=2).reshape(tq, P)
-        ci = jnp.stack([nlo_i, nhi_i], axis=2).reshape(tq, P)
+        first = (lane % (2 * s)) < s
+        # pltpu.roll requires non-negative shifts: left-by-s == right-
+        # by-(P-s)
+        up_d = pltpu.roll(cd, P - s, 1)
+        dn_d = pltpu.roll(cd, s, 1)
+        up_i = pltpu.roll(ci, P - s, 1)
+        dn_i = pltpu.roll(ci, s, 1)
+        part_d = jnp.where(first, up_d, dn_d)
+        part_i = jnp.where(first, up_i, dn_i)
+        # logical form, not where-of-bools: Mosaic lowers bool selects
+        # through an i8 round-trip it then fails to truncate
+        take = (first & (part_d < cd)) | (~first & (part_d > cd))
+        cd = jnp.where(take, part_d, cd)
+        ci = jnp.where(take, part_i, ci)
         s //= 2
     return cd[:, :k], ci[:, :k]
 
@@ -275,11 +291,11 @@ def _knn_kernel_merge(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
 
         def outer_cond(state):
             m, _, bd, _ = state
-            return jnp.any(m < bd[:, -1])
+            return jnp.any(m < _last_col(bd))
 
         def outer_body(state, _base=base):
             m, r, bd, bi = state
-            tau = bd[:, -1]                     # fixed during one fill
+            tau = _last_col(bd)                 # fixed during one fill
 
             def fill_cond(fs):
                 m, _, j, _, _ = fs
@@ -315,7 +331,7 @@ def _knn_kernel_merge(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
     @pl.when(nj == n_chunks - 1)
     def _():
         # working set is maintained sorted: output is free
-        out_d_ref[:] = jnp.maximum(bd + qn_ref[:].T, 0.0)
+        out_d_ref[:] = jnp.maximum(bd + qn_ref[:], 0.0)
         out_i_ref[:] = bi
 
 
@@ -389,7 +405,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     if subtile is None:
         subtile = default_subtile(k, tn)
     assert tn % subtile == 0, (tn, subtile)
-    qn = jnp.sum(queries * queries, axis=-1)[None, :]     # (1, Q)
+    qn = jnp.sum(queries * queries, axis=-1)[:, None]     # (Q, 1)
     xn = point_norms[None, :]                              # (1, N)
 
     if precision == "high":
@@ -423,7 +439,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             pl.BlockSpec((tq, d), lambda qi, nj: (qi, 0),
                          memory_space=pltpu.VMEM),          # queries
             p_spec,                                         # points
-            pl.BlockSpec((1, tq), lambda qi, nj: (0, qi),
+            pl.BlockSpec((tq, 1), lambda qi, nj: (qi, 0),
                          memory_space=pltpu.VMEM),          # qn
         ],
         out_specs=[

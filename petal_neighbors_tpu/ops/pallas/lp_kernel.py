@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .knn_kernel import _bitonic_merge_sorted
+from .knn_kernel import _bitonic_merge_sorted, _last_col
 
 __all__ = ["lp_knn_pallas", "pad_for_lp", "LpSpec", "lp_spec_for"]
 
@@ -140,11 +140,11 @@ def _lp_kernel(mask_ref, q_ref, p_ref, out_d_ref, out_i_ref,
 
     def outer_cond(state):
         m, _, bd, _ = state
-        return jnp.any(m < bd[:, -1])
+        return jnp.any(m < _last_col(bd))
 
     def outer_body(state):
         m, r, bd, bi = state
-        tau = bd[:, -1]
+        tau = _last_col(bd)
 
         def fill_cond(fs):
             m, _, j, _, _ = fs
