@@ -24,10 +24,13 @@ from .trees import (BallTree, BruteForce, DynamicIndex, VantagePointTree,
                     dual_tree_knn)
 from .sklearn import NearestNeighbors
 from .utils.serialize import load_index, save_index
+from .utils.serving import AsyncResult, QueryStream
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AsyncResult",
+    "QueryStream",
     "boruvka_mst",
     "mutual_reachability_mst",
     "NearestNeighbors",

@@ -92,6 +92,76 @@ def _fold_min(state_min, r, col, bd, bi, base, kcol):
     return jnp.min(r, axis=1), r, bd, bi
 
 
+def _knn_kernel_lazy(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
+                     best_d, best_i, *, k: int, tn: int, n_chunks: int,
+                     subtile: int, precision: str, sort_output: bool):
+    """Lazy-u variant of the fold kernel: the common no-survivor tile
+    pays ONE fused reduce (min over xn − 2s, never materializing u) and
+    a (tq, k) row-max; the u tile and the whole extraction loop live
+    inside ``pl.when(hit)`` and only run for tiles that can contribute.
+    Semantically identical to ``_knn_kernel``."""
+    nj = pl.program_id(1)
+    tq = best_d.shape[0]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+
+    @pl.when(nj == 0)
+    def _():
+        best_d[:] = jnp.full((tq, k), jnp.inf, dtype=jnp.float32)
+        best_i[:] = jnp.full((tq, k), -1, dtype=jnp.int32)
+
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+
+    m0 = jnp.min(xn_ref[:] - 2.0 * s, axis=1)      # fused, u not stored
+    tau0 = jnp.max(best_d[:], axis=1)
+    hit = jnp.any(m0 < tau0) | (nj == 0)
+
+    @pl.when(hit)
+    def _():
+        u = xn_ref[:] - 2.0 * s                    # recomputed, hit tiles only
+        bd = best_d[:]
+        bi = best_i[:]
+        n_sub = tn // subtile
+        csub = jax.lax.broadcasted_iota(jnp.int32, (tq, subtile), 1)
+        for g in range(n_sub):
+            sub = u[:, g * subtile:(g + 1) * subtile] if n_sub > 1 else u
+            base = nj * tn + g * subtile
+
+            def _cond(state):
+                m, _, bd, _ = state
+                return jnp.any(m < jnp.max(bd, axis=1))
+
+            def _body(state, _base=base):
+                m, r, bd, bi = state
+                return _fold_min(m, r, csub, bd, bi, _base, kcol)
+
+            ms = jnp.min(sub, axis=1) if n_sub > 1 else m0
+            _, _, bd, bi = jax.lax.while_loop(_cond, _body,
+                                              (ms, sub, bd, bi))
+        best_d[:] = bd
+        best_i[:] = bi
+
+    @pl.when(nj == n_chunks - 1)
+    def _():
+        if sort_output:
+            od, oi = _sort_working_set(best_d[:], best_i[:], k)
+        else:
+            od, oi = best_d[:], best_i[:]
+        out_d_ref[:] = jnp.maximum(od + qn_ref[:], 0.0)
+        out_i_ref[:] = oi
+
+
 def _knn_kernel(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
                 best_d, best_i, *, k: int, tn: int, n_chunks: int,
                 subtile: int, precision: str, sort_output: bool):
@@ -396,7 +466,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     n, d = points.shape
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
-    assert scheme in ("fold", "merge"), scheme
+    assert scheme in ("fold", "fold_lazy", "merge"), scheme
     # merge scheme: O(log k) passes/merge, so the working set can grow
     # past the fold scheme's practical k ceiling (VMEM is the only limit)
     assert 1 <= k <= (4096 if scheme == "merge" else 1024), k
@@ -424,7 +494,8 @@ def knn_pallas(points, queries, point_norms, *, k: int,
                                    n_chunks=n_chunks, subtile=subtile,
                                    precision=precision, buf_w=buf_w)
     else:
-        kernel = functools.partial(_knn_kernel, k=k, tn=tn,
+        base = _knn_kernel_lazy if scheme == "fold_lazy" else _knn_kernel
+        kernel = functools.partial(base, k=k, tn=tn,
                                    n_chunks=n_chunks, subtile=subtile,
                                    precision=precision,
                                    sort_output=sort_output)

@@ -77,3 +77,18 @@ class TestMonotoneDistances:
         out = np.asarray(monotone_distances(d))
         assert np.isnan(out[0]).all()
         np.testing.assert_array_equal(out[1], d[1])
+
+
+class TestQueryStream:
+    def test_pipelined_results_match_sync(self, rng):
+        from petal_neighbors_tpu import BruteForce, QueryStream
+        pts = rng.standard_normal((500, 8)).astype(np.float32)
+        qs = rng.standard_normal((20, 8)).astype(np.float32)
+        idx = BruteForce.euclidean(pts)
+        stream = QueryStream(idx, k=5)
+        got = stream.query_many(qs)
+        for row, (ids, d) in enumerate(got):
+            want_i, want_d = idx.query(qs[row], 5)
+            np.testing.assert_array_equal(ids, want_i)
+            np.testing.assert_allclose(d, want_d, rtol=1e-6)
+            assert ids.dtype == np.int64
