@@ -405,6 +405,97 @@ def _knn_kernel_merge(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = bi
 
 
+SUBCHUNK = 128
+
+
+def _minima_kernel(xn_ref, q_ref, p_ref, out_ref, *, tn: int,
+                   precision: str):
+    """Phase A of the two-phase small-k scheme: per-SUBCHUNK u-domain
+    minima, NO data-dependent control flow.  The round-3 floor probe
+    measured the fold kernel at 37% of this structure's throughput —
+    the per-tile while_loop (not VPU passes) breaks Mosaic's cross-step
+    pipelining — so the small-k path splits into this fully-pipelined
+    scan plus a cheap XLA candidate phase (ops.bruteforce.knn_two_phase).
+
+    Emits out (tq, tn // SUBCHUNK): min over each 128-point block of
+    ``u = ‖x‖² − 2q·x``; block b of chunk nj covers points
+    [nj·tn + b·128, ... + 128)."""
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    u = xn_ref[:] - 2.0 * s
+    # natural (tq, nc) layout: per-block minima stay sublane-major (a
+    # transposed (nc, tq) block forced per-tile sublane->lane vector
+    # transposes — measured 459 QPS vs 145k for the floor probe); the
+    # caller uses tn=16384 so nc=128 satisfies the lane-divisibility rule
+    mins = [jnp.min(u[:, b * SUBCHUNK:(b + 1) * SUBCHUNK], axis=1)[:, None]
+            for b in range(tn // SUBCHUNK)]
+    out_ref[:] = jnp.concatenate(mins, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tn", "interpret",
+                                             "precision"))
+def subchunk_minima(points, queries, point_norms, *, tq: int = 256,
+                    tn: int = 16384, interpret: bool = False,
+                    precision: str = "high", points_split=None):
+    """(Q, N // SUBCHUNK) per-subchunk u-domain minima via the
+    control-flow-free kernel.  Same caller contract as ``knn_pallas``
+    (pad_for_pallas inputs, N % tn == 0, Q % tq == 0; note the default
+    tn=16384 — callers pad with ``pad_for_pallas(..., tn=PAD_GRANULE)``
+    so both this kernel and the tn=4096 fold/merge kernels divide the
+    padded length)."""
+    n, d = points.shape
+    q = queries.shape[0]
+    assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
+    n_chunks = n // tn
+    nc = tn // SUBCHUNK
+    xn = point_norms[None, :]
+    if precision == "high":
+        if points_split is None:
+            points_split = prepare_split(points)
+        p_in = points_split
+        p_spec = pl.BlockSpec((tn, 2 * d), lambda qi, nj: (nj, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_in = points
+        p_spec = pl.BlockSpec((tn, d), lambda qi, nj: (nj, 0),
+                              memory_space=pltpu.VMEM)
+    kernel = functools.partial(_minima_kernel, tn=tn, precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(q // tq, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, tn), lambda qi, nj: (0, nj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, d), lambda qi, nj: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            p_spec,
+        ],
+        out_specs=pl.BlockSpec((tq, nc), lambda qi, nj: (qi, nj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, n_chunks * nc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d * 4 + q * d * 4 + q * (n // SUBCHUNK) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xn, queries, p_in)
+
+
 def default_subtile(k: int, tn: int) -> int:
     """Extraction sub-tile width, set from the measured sweep (SIFT-1M,
     tn=4096, "high" precision — BENCH_NOTES round-2 tuning table):

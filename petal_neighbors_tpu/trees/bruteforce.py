@@ -85,7 +85,7 @@ class BruteForce:
             with_split = n * d <= self.SPLIT_BUDGET_ELEMS
             (self._pallas_pts, self._pallas_norms, self._pallas_split,
              self._invalid) = bf.prepare_cosine_index(
-                probe, bf.pallas_tile_n(d), with_split=with_split)
+                probe, bf.pad_granule(d), with_split=with_split)
             self._qpoints = None                   # lazy: _pallas_pts[:n]
             self._cosine_kernel = True
         elif isinstance(self.metric, Euclidean) and high_dim and pallas_ok:
@@ -98,7 +98,7 @@ class BruteForce:
             with_split = n * d <= self.SPLIT_BUDGET_ELEMS
             (self._center, self._pallas_pts, self._pallas_norms,
              self._pallas_split, self._invalid) = bf.prepare_euclidean_index(
-                probe, bf.pallas_tile_n(d), with_split=with_split)
+                probe, bf.pad_granule(d), with_split=with_split)
             self._qpoints = None                   # lazy: _pallas_pts[:n]
         else:
             self.points = check_points(points)     # public, original data

@@ -235,3 +235,54 @@ class TestMergeScheme:
         np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-4)
         assert np.mean([len(set(ii[r]) & set(oi[r])) / k
                         for r in range(q)]) == 1.0
+
+
+class TestTwoPhaseScheme:
+    """Round-3 small-k redesign: control-flow-free subchunk-minima kernel
+    + exact direct-form candidate rescore (see BENCH_NOTES round 3 —
+    the fold kernel's while_loop costs 2.7x in lost pipelining)."""
+
+    def test_exact_vs_oracle(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 65536, 64, 48, 10
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[5] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[3] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=4096)
+        dd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                         mu, precision="high", tn=4096,
+                                         interpret=True,
+                                         scheme="two_phase")
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        oi = np.argsort(d2, 1, kind="stable")[:, :k]
+        od = np.take_along_axis(d2, oi, 1)
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_subchunk_minima_values(self, rng):
+        from petal_neighbors_tpu.ops.bruteforce import pad_for_pallas
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            SUBCHUNK, subchunk_minima)
+        n, d, q = 8192, 32, 16
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = pad_for_pallas(jnp.asarray(pts), tn=2048)
+        m = np.asarray(subchunk_minima(pp, jnp.asarray(qs), pn, tq=8,
+                                       tn=2048, precision="highest",
+                                       interpret=True))
+        qn = (qs.astype(np.float64) ** 2).sum(-1)
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        u = d2 - qn[:, None]
+        want = u.reshape(q, n // SUBCHUNK, SUBCHUNK).min(-1)
+        np.testing.assert_allclose(m, want, rtol=1e-4, atol=1e-3)
