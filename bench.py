@@ -154,12 +154,22 @@ def main() -> None:
     query_s_100, ids100 = timed_batch(100, reps=2)
     qps100 = N_Q / query_s_100
 
-    _log("recall oracle: k=10 over 1024 queries, k=100 over 256 (f64)")
+    _log("k=1000 run (batch-merge kernel scheme; 2048-q batch)")
+    d1k, i1k = index.query_batch(qs_dev[:2048], 1000)
+    np.asarray(d1k)
+    t0 = time.perf_counter()
+    d1k, i1k = index.query_batch(qs_dev[:2048], 1000)
+    np.asarray(d1k)
+    qps1000 = 2048 / (time.perf_counter() - t0)
+
+    _log("recall oracle: k=10/1024q, k=100/256q, k=1000/64q (f64)")
     n_oracle = 1024
     oi10 = oracle_topk(points, queries[:n_oracle], K)
     recall10 = recall_against_oracle(ids10[:n_oracle], oi10)
     oi100 = oracle_topk(points, queries[:256], 100)
     recall100 = recall_against_oracle(ids100[:256], oi100)
+    oi1000 = oracle_topk(points, queries[:64], 1000)
+    recall1000 = recall_against_oracle(np.asarray(i1k)[:64], oi1000)
 
     _log("cpu single-core baseline (pinned subprocess)")
     qps_cpu_1m = cpu_baseline_qps_1m()
@@ -173,6 +183,8 @@ def main() -> None:
         "recall_oracle_queries": n_oracle,
         "qps_k100": round(qps100, 1),
         "recall_at_k100": round(recall100, 6),
+        "qps_k1000": round(qps1000, 1),
+        "recall_at_k1000": round(recall1000, 6),
         "build_s": round(build_s, 3),
         "query_batch_s": round(query_s, 3),
         "cpu_1core_qps_est": round(qps_cpu_1m, 1),

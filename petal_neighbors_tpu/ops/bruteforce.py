@@ -408,15 +408,19 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     if precision == "high" and pts_split is None:
         pts_split = prepare_split(pts_padded)
     if scheme is None:
-        # round-3 sweep (BENCH_NOTES): fold wins through k~512 (its
-        # per-survivor folds are cheap when the working set is small);
-        # the merge scheme's O(log k) bitonic updates win from ~k=640 up
-        # and extend the fused path to PALLAS_K_MAX (the old 90x cliff
-        # onto the XLA TopK scan — round-2 judge #8).  two_phase is
-        # opt-in: correct and tested, but measured 21k vs fold's 56k at
-        # the headline (phase-B gather + minima assembly are short of
-        # the control-flow-free floor; ROADMAP).
-        scheme = "fold" if k_eff + RESCORE_SLACK <= 640 else "merge"
+        # round-3 sweep (BENCH_NOTES): capped (zero data-dependent
+        # control flow + miss-threshold proof) serves small k at serving
+        # scale; fold wins k~128..512 (its per-survivor folds are cheap
+        # when the working set is small); the merge scheme's O(log k)
+        # bitonic updates win from ~k=640 up and extend the fused path
+        # to PALLAS_K_MAX (the old 90x cliff onto the XLA TopK scan —
+        # round-2 judge #8).  two_phase is opt-in: correct and tested,
+        # but measured 21k vs fold's 56k at the headline.
+        if (k_eff + RESCORE_SLACK <= 128
+                and n_real >= 262144 and not fast):
+            scheme = "capped"
+        else:
+            scheme = "fold" if k_eff + RESCORE_SLACK <= 640 else "merge"
     if center is not None:
         queries = queries - center
     if normalize_q:
@@ -458,7 +462,8 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # the last column
         rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq,
                              tn=tn, precision=prec, sort_output=False,
-                             scheme="fold" if scheme == "two_phase"
+                             scheme="fold" if scheme in ("two_phase",
+                                                         "capped")
                              else scheme,
                              points_split=pts_split, interpret=interpret)
         rd, idx = rd[:q], idx[:q]
@@ -472,6 +477,67 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # rd is ascending; sqrt needs the ulp-inversion clamp, the raw
         # rdistance domain (cosine callers apply an exact /2) does not
         return rd if out_rdist else monotone_distances(jnp.sqrt(rd))
+
+    if scheme == "capped":
+        # capped-pass kernel: no data-dependent control flow (pipelines
+        # like the floor probe).  The kernel may SKIP true top-k members
+        # when a tile has more survivors than passes; it emits a sound
+        # per-query threshold thr = min(working-set max, skipped-score
+        # floor), so the standard proof below certifies exactness — on
+        # failure (adversarial data, tiny n) the fold kernel at
+        # "highest" recomputes.  The proof is required even at
+        # precision="highest": the miss risk is structural, not rounding.
+        passes = 2 if k_scan <= 32 else 4
+        rd_a, idx, thr = knn_pallas(
+            pts_padded, qs, xn_padded, k=k_scan, tq=tq, tn=tn,
+            precision=precision, scheme="capped", passes=passes,
+            points_split=pts_split if precision == "high" else None,
+            interpret=interpret)
+        idx_ok = jnp.where(idx < n_real, idx, -1)
+        best_rd, best_i = rescore_exact(pts_padded, qs, idx_ok, k_eff)
+        qn = jnp.sum(qs * qs, axis=-1)
+        xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded,
+                                   0.0))
+        err = _proof_err(precision, dim, qn, xn_max)
+        covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
+        covered = covered | ~jnp.isfinite(best_rd[:, -1])
+
+        # GROUP-granular repair: a miss needs passes+1 members of a
+        # query's running top-k_scan inside one point tile — measured 22
+        # of 10240 queries at passes=2 on the 1M uniform headline — so a
+        # whole-batch fallback would trigger almost every batch while
+        # touching almost no queries.  Failing groups re-run the fold
+        # kernel (at "highest": slack-protected like the precision=
+        # "highest" serving path, no proof needed) under scan+cond: ONE
+        # compiled fold instance, ~zero cost for passing groups.  Group
+        # size 64 < tq: failures are scattered single queries, and the
+        # repair sweep costs ~q_group/q of a full fold pass.
+        gran = 64 if tq % 64 == 0 else tq
+        ng = qs.shape[0] // gran
+        ok_g = jnp.all(covered.reshape(ng, gran), axis=1)
+        qs_g = qs.reshape(ng, gran, dim)
+        brd_g = best_rd.reshape(ng, gran, k_eff)
+        bi_g = best_i.reshape(ng, gran, k_eff)
+
+        def _repair(qg):
+            rdg, idg = knn_pallas(
+                pts_padded, qg, xn_padded, k=k_scan, tq=gran, tn=tn,
+                precision="highest", sort_output=False, scheme="fold",
+                interpret=interpret)
+            idg = jnp.where(idg < n_real, idg, -1)
+            return rescore_exact(pts_padded, qg, idg, k_eff)
+
+        def _group(_, xs):
+            okg, qg, br, bi = xs
+            out = jax.lax.cond(okg, lambda _: (br, bi),
+                               lambda _: _repair(qg), operand=None)
+            return None, out
+
+        _, (brd_r, bi_r) = jax.lax.scan(
+            _group, None, (ok_g, qs_g, brd_g, bi_g))
+        best_rd = brd_r.reshape(ng * gran, k_eff)[:q]
+        best_i = bi_r.reshape(ng * gran, k_eff)[:q]
+        return to_out(best_rd), best_i
 
     if scheme == "two_phase":
         # control-flow-free minima kernel + exact candidate rescore

@@ -405,6 +405,93 @@ def _knn_kernel_merge(xn_ref, q_ref, p_ref, qn_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = bi
 
 
+def _knn_kernel_capped(xn_ref, q_ref, p_ref, qn_ref,
+                       out_d_ref, out_i_ref, out_t_ref,
+                       best_d, best_i, miss_min, *, k: int, tn: int,
+                       n_chunks: int, precision: str, passes: int):
+    """Capped-pass streaming top-k: ZERO data-dependent control flow.
+
+    The round-3 floor probe (matmul + fused row-min, same grid) runs
+    2.7x the fold kernel, and ``fold_lazy`` showed the VPU passes are
+    not the gap — the per-tile ``while_loop`` itself serializes Mosaic's
+    cross-step pipeline.  So this variant runs a FIXED ``passes`` fold
+    iterations per tile, unconditionally (an unrolled Python loop — the
+    only ``pl.when``s are grid-position init/output, which the probe had
+    too).
+
+    Exactness moves to the caller's proof: a tile with more than
+    ``passes`` survivors leaves candidates un-extracted, so the kernel
+    tracks ``miss_min`` = min over tiles of the post-pass tile minimum
+    (the smallest u-score it may ever have skipped) and emits
+    ``thr = min(max(working set), miss_min)`` per query.  Every point
+    not in the working set has u >= thr: non-skipped points were
+    rejected against a working-set max that only shrinks, skipped points
+    are >= their tile's post-pass min.  The caller proves
+    ``true_kth <= thr − err`` per batch (knn_pallas_prepadded) and falls
+    back to the fold kernel otherwise — misses only cost performance,
+    never exactness.  Tile 0 seeds the working set with its first k
+    columns (masked from later extraction) so early tiles need no fill
+    loop; with ``passes``=2 the skip threshold is ~the 3rd-best of a
+    random tn-point sample — far above the true k-th at serving scale.
+
+    Outputs are UNSORTED (sort_output=False semantics; the caller
+    re-scores + re-ranks); ``out_t`` is thr in the rdist domain.
+    """
+    nj = pl.program_id(1)
+    tq = best_d.shape[0]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    u = xn_ref[:] - 2.0 * s                    # (tq, tn)
+
+    @pl.when(nj == 0)
+    def _():
+        seed = u[:, :k]
+        # NaN-query rows must init to (+inf, -1), matching the fold
+        # kernel's never-folded state (NaN comparisons keep them there)
+        nanq = jnp.isnan(seed)
+        best_d[:] = jnp.where(nanq, jnp.inf, seed)
+        best_i[:] = jnp.where(nanq, -1, kcol)
+        miss_min[:] = jnp.full((tq, 1), jnp.inf, dtype=jnp.float32)
+
+    # tile-0 seed columns are already in the working set: mask them out
+    # of extraction (duplicate ids would poison the rescore top-k)
+    r = jnp.where((nj == 0) & (col < k), jnp.inf, u)
+    m = jnp.min(r, axis=1)
+    bd = best_d[:]
+    bi = best_i[:]
+    base = nj * tn
+    for _ in range(passes):
+        m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    best_d[:] = bd
+    best_i[:] = bi
+    # post-pass tile minimum: >= current working-set max when nothing was
+    # skipped (then it cannot bind below tau at output); the true skip
+    # floor otherwise
+    miss_min[:] = jnp.minimum(miss_min[:], m[:, None])
+
+    @pl.when(nj == n_chunks - 1)
+    def _():
+        tau = jnp.max(bd, axis=1)
+        thr = jnp.minimum(tau, miss_min[:, 0])
+        out_d_ref[:] = jnp.maximum(bd + qn_ref[:], 0.0)
+        out_i_ref[:] = bi
+        out_t_ref[:] = (thr + qn_ref[:, 0])[:, None]
+
+
 SUBCHUNK = 128
 
 
@@ -524,12 +611,12 @@ def prepare_split(points):
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
                                              "subtile", "precision",
                                              "sort_output", "scheme",
-                                             "buf_w"))
+                                             "buf_w", "passes"))
 def knn_pallas(points, queries, point_norms, *, k: int,
                tq: int = 256, tn: int = 4096, interpret: bool = False,
                subtile: int | None = None, precision: str = "highest",
                points_split=None, sort_output: bool = True,
-               scheme: str = "fold", buf_w: int = 16):
+               scheme: str = "fold", buf_w: int = 16, passes: int = 2):
     """Exact-within-precision k-NN via the fused Pallas kernel
     (squared-Euclidean).
 
@@ -553,14 +640,25 @@ def knn_pallas(points, queries, point_norms, *, k: int,
 
     Returns (rdist (Q, k) ascending, indices (Q, k)); indices of padded
     rows never appear; rdist domain (convert at the boundary).
+
+    ``scheme="capped"`` (the round-3 small-k serving engine) runs
+    ``passes`` unconditional extraction passes per tile — no
+    data-dependent control flow, so Mosaic pipelines grid steps like the
+    structural floor probe — and returns a THIRD array: the per-query
+    sound proof threshold (rdist domain, approx precision).  Outputs are
+    unsorted and may omit true top-k members when a tile had more than
+    ``passes`` survivors; callers MUST run the threshold proof and fall
+    back (knn_pallas_prepadded does).
     """
     n, d = points.shape
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
-    assert scheme in ("fold", "fold_lazy", "merge"), scheme
+    assert scheme in ("fold", "fold_lazy", "merge", "capped"), scheme
     # merge scheme: O(log k) passes/merge, so the working set can grow
     # past the fold scheme's practical k ceiling (VMEM is the only limit)
     assert 1 <= k <= (4096 if scheme == "merge" else 1024), k
+    if scheme == "capped":
+        assert k <= tn, (k, tn)  # tile-0 seed needs k columns
     assert precision in PRECISIONS, precision
     n_chunks = n // tn
     if subtile is None:
@@ -584,6 +682,10 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         kernel = functools.partial(_knn_kernel_merge, k=k, tn=tn,
                                    n_chunks=n_chunks, subtile=subtile,
                                    precision=precision, buf_w=buf_w)
+    elif scheme == "capped":
+        kernel = functools.partial(_knn_kernel_capped, k=k, tn=tn,
+                                   n_chunks=n_chunks, precision=precision,
+                                   passes=passes)
     else:
         base = _knn_kernel_lazy if scheme == "fold_lazy" else _knn_kernel
         kernel = functools.partial(base, k=k, tn=tn,
@@ -591,8 +693,28 @@ def knn_pallas(points, queries, point_norms, *, k: int,
                                    precision=precision,
                                    sort_output=sort_output)
 
+    out_specs = [
+        pl.BlockSpec((tq, k), lambda qi, nj: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tq, k), lambda qi, nj: (qi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((q, k), jnp.float32),
+        jax.ShapeDtypeStruct((q, k), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((tq, k), jnp.float32),
+        pltpu.VMEM((tq, k), jnp.int32),
+    ]
+    if scheme == "capped":
+        out_specs.append(pl.BlockSpec((tq, 1), lambda qi, nj: (qi, 0),
+                                      memory_space=pltpu.VMEM))  # thr
+        out_shape.append(jax.ShapeDtypeStruct((q, 1), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((tq, 1), jnp.float32))  # miss_min
+
     grid = (q // tq, n_chunks)
-    out_d, out_i = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -604,20 +726,9 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             pl.BlockSpec((tq, 1), lambda qi, nj: (qi, 0),
                          memory_space=pltpu.VMEM),          # qn
         ],
-        out_specs=[
-            pl.BlockSpec((tq, k), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q, k), jnp.float32),
-            jax.ShapeDtypeStruct((q, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tq, k), jnp.float32),
-            pltpu.VMEM((tq, k), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             # default scoped-vmem cap is 16 MiB; the u tile at
             # tq=512/tn=2048 plus double-buffered inputs wants more
@@ -631,4 +742,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         ),
         interpret=interpret,
     )(xn, queries, p_in, qn)
+    if scheme == "capped":
+        return outs[0], outs[1], outs[2][:, 0]
+    out_d, out_i = outs
     return out_d, out_i

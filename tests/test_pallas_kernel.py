@@ -286,3 +286,89 @@ class TestTwoPhaseScheme:
         u = d2 - qn[:, None]
         want = u.reshape(q, n // SUBCHUNK, SUBCHUNK).min(-1)
         np.testing.assert_allclose(m, want, rtol=1e-4, atol=1e-3)
+
+
+class TestCappedScheme:
+    """Round-3 capped-pass kernel: fixed unconditional extraction passes
+    per tile (no data-dependent control flow — pipelines like the floor
+    probe) + the miss-threshold proof in knn_pallas_prepadded."""
+
+    @pytest.mark.parametrize("passes", [1, 2, 4])
+    def test_end_to_end_exact(self, rng, passes):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 8192, 32, 96, 10
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[7] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[3] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        dd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                         mu, precision="high", tn=512,
+                                         interpret=True, scheme="capped")
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        oi = np.argsort(d2, 1, kind="stable")[:, :k]
+        od = np.take_along_axis(d2, oi, 1)
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_threshold_is_sound(self, rng):
+        """Every point OUTSIDE the kernel's working set must score >= thr
+        (the exactness argument; holds even when passes is too small and
+        true top-k members were skipped)."""
+        n, d, q, k = 4096, 16, 32, 12
+        pts = (rng.random((n, d)).astype(np.float32) - 0.5) * 10
+        qs = (rng.random((q, d)).astype(np.float32) - 0.5) * 10
+        pp, pn = pad_for_pallas(jnp.asarray(pts), tn=512)
+        rd, ii, thr = knn_pallas(pp, jnp.asarray(qs), pn, k=k, tq=32,
+                                 tn=512, interpret=True,
+                                 precision="highest", scheme="capped",
+                                 passes=1)
+        rd, ii, thr = np.asarray(rd), np.asarray(ii), np.asarray(thr)
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        slack = 1e-3  # f32 rounding on the matmul-form scores
+        for r in range(q):
+            inside = set(int(x) for x in ii[r] if x >= 0)
+            outside = [j for j in range(n) if j not in inside]
+            assert d2[r][outside].min() >= thr[r] - slack, r
+
+    def test_adversarial_identical_points_fall_back(self, rng):
+        """All-equal points: every tile overflows the pass cap, the proof
+        cannot certify, and the fold fallback must still deliver exact
+        results."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 4096, 8, 16, 5
+        pts = np.ones((n, d), dtype=np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        dd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                         precision="high", tn=512,
+                                         interpret=True, scheme="capped")
+        want = np.sqrt(((qs - 1.0) ** 2).sum(-1))
+        np.testing.assert_allclose(np.asarray(dd),
+                                   np.repeat(want[:, None], k, 1),
+                                   rtol=1e-5, atol=1e-5)
+        assert (np.sort(np.asarray(ii), 1) >= 0).all()
+
+    def test_k_greater_than_n_real(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q = 20, 8, 16
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        dd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), 10, n,
+                                         precision="highest", tn=512,
+                                         interpret=True, scheme="capped")
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        oi = np.argsort(d2, 1, kind="stable")[:, :10]
+        assert (np.asarray(ii) == oi).all()
