@@ -366,16 +366,60 @@ def _two_phase_small_k(pts_padded, xn_padded, queries_c,
 PALLAS_K_MAX = 4096 - RESCORE_SLACK
 
 
+def _rescore_large(points, queries, idx, k: int, interpret: bool):
+    """Direct-form rescore + re-rank for k_scan in the hundreds-to-
+    thousands.
+
+    ``rescore_exact`` materializes the whole (Q, k_scan, d) candidate
+    block and re-ranks with ``lax.top_k`` — at k_scan ~ 4096 that is a
+    multi-GB HBM blob and a TopK custom call over thousands of lanes
+    (TopK was the round-1 serving bottleneck).  Here the gather +
+    direct-form rescore stream over query chunks (lax.map keeps the
+    transient <= ~64 MB) and the re-rank rides the Pallas bitonic row
+    sort (``ops.pallas.sort_kernel``).  Same contract as
+    ``rescore_exact``: (rdist, idx) ascending, (Q, k); NaN distances ->
+    +inf (NaN-is-farthest); ids < 0 or >= n treated as missing.
+    """
+    from .pallas.sort_kernel import bitonic_sort_pairs
+
+    q, dim = queries.shape
+    n = points.shape[0]
+    k_in = idx.shape[1]
+    ok = (idx >= 0) & (idx < n)
+    safe = jnp.where(ok, idx, 0)
+    chunk = max(64, min(q, (1 << 24) // max(1, k_in * dim)))
+    qpad = (-q) % chunk
+    qs = jnp.pad(queries, ((0, qpad), (0, 0))) if qpad else queries
+    sf = jnp.pad(safe, ((0, qpad), (0, 0))) if qpad else safe
+    okp = jnp.pad(ok, ((0, qpad), (0, 0))) if qpad else ok
+
+    def body(xs):
+        qc, ic, oc = xs
+        cand = points[ic]                         # (chunk, k_in, d)
+        diff = qc[:, None, :] - cand
+        rd = jnp.sum(diff * diff, axis=-1)
+        return jnp.where(oc, nan_to_inf(rd), jnp.inf)
+
+    rd = jax.lax.map(body, (qs.reshape(-1, chunk, dim),
+                            sf.reshape(-1, chunk, k_in),
+                            okp.reshape(-1, chunk, k_in)))
+    rd = rd.reshape(-1, k_in)[:q]
+    sd, si = bitonic_sort_pairs(rd, jnp.where(ok, idx, -1),
+                                interpret=interpret)
+    return sd[:, :k], si[:, :k]
+
+
 @partial(jax.jit, static_argnames=("k_eff", "n_real", "fast", "precision",
                                    "tq", "tn", "interpret", "normalize_q",
-                                   "out_rdist", "scheme"))
+                                   "out_rdist", "scheme", "capped_passes"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          n_real: int, center=None, fast: bool = False,
                          precision: str | None = None,
                          tq: int | None = None, tn: int | None = None,
                          pts_split=None, interpret: bool = False,
                          normalize_q: bool = False, out_rdist: bool = False,
-                         scheme: str | None = None):
+                         scheme: str | None = None,
+                         capped_passes: int | None = None):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -407,17 +451,30 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         precision = "bf16" if fast else "high"
     if precision == "high" and pts_split is None:
         pts_split = prepare_split(pts_padded)
+    dim = pts_padded.shape[1]
+    if tn is None:
+        tn = pallas_tile_n(dim)      # must match the pad_for_pallas tn
     if scheme is None:
         # round-3 sweep (BENCH_NOTES): capped (zero data-dependent
         # control flow + miss-threshold proof) serves small k at serving
-        # scale; fold wins k~128..512 (its per-survivor folds are cheap
-        # when the working set is small); the merge scheme's O(log k)
-        # bitonic updates win from ~k=640 up and extend the fused path
-        # to PALLAS_K_MAX (the old 90x cliff onto the XLA TopK scan —
-        # round-2 judge #8).  two_phase is opt-in: correct and tested,
-        # but measured 21k vs fold's 56k at the headline.
-        if (k_eff + RESCORE_SLACK <= 128
-                and n_real >= 262144 and not fast):
+        # scale — and LARGE k too, with ``passes`` scaled to the expected
+        # per-tile survivor count lam = k_scan*tn/n (n >= 200*k keeps lam
+        # <= ~20 and the miss-proof quantile margin wide); fold wins
+        # k~128..512 at small corpora; the merge scheme's O(log k)
+        # bitonic updates extend the fused path to PALLAS_K_MAX when the
+        # corpus is too small for the capped proof (the old 90x cliff
+        # onto the XLA TopK scan — round-2 judge #8).  two_phase is
+        # opt-in: correct and tested, but measured 21k vs fold's 56k at
+        # the headline.
+        ks = min(k_eff + RESCORE_SLACK, n_real)
+        if ks <= 128 and n_real >= 262144 and not fast:
+            scheme = "capped"
+        elif (ks <= min(1024, tn) or 3072 <= ks <= min(4088, tn)) \
+                and n_real >= 200 * ks and not fast:
+            # capped beats fold/merge at every measured k <= 1016 (r3
+            # sweep: 9.2k vs 5.1k at k=256 ... 2.4k vs 1.8k at k=1000)
+            # and edges merge at k ~ 4080 (0.43k vs 0.36k); merge keeps
+            # the 1024 < k_scan < 3072 band (1.43k vs 1.1k at k=2048)
             scheme = "capped"
         else:
             scheme = "fold" if k_eff + RESCORE_SLACK <= 640 else "merge"
@@ -429,15 +486,19 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # (the kernel's NaN-query policy: (+inf, -1) results)
         queries = queries / jnp.sqrt(
             jnp.sum(queries * queries, axis=-1, keepdims=True))
-    dim = pts_padded.shape[1]
     q = queries.shape[0]
     k_scan = min(k_eff + RESCORE_SLACK, n_real)
-    if scheme == "merge" and k_scan > 1024:
-        # large-k merge blocks want a 128-multiple lane dimension
+    if scheme in ("merge", "capped") and k_scan > 1024:
+        # large-k merge/capped blocks want a 128-multiple lane dimension
         # (Mosaic block-shape constraint); extra slack is harmless —
         # rescore slices back to k_eff
         k_scan = min(max(-(-k_scan // 128) * 128, 128), 4096)
         k_scan = max(k_scan, k_eff)
+    if scheme == "capped" and k_scan > tn:
+        # the capped kernel seeds its working set from tile 0's first k
+        # columns, so k cannot exceed the tile; a forced scheme="capped"
+        # downgrades rather than tripping the kernel assert
+        scheme = "fold" if k_scan <= 640 else "merge"
     if tq is None:
         # 256 measured best at small k on the 1M x 128 headline; at
         # k > 128 the per-extraction working-set passes scale with tq·k
@@ -448,8 +509,6 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # sublane granule
         base_tq = 256 if k_scan <= 128 else (128 if k_scan <= 1024 else 64)
         tq = base_tq if q >= base_tq else -(-q // 8) * 8
-    if tn is None:
-        tn = pallas_tile_n(dim)      # must match the pad_for_pallas tn
 
     qpad = (-q) % tq
     qs = jnp.pad(queries, ((0, qpad), (0, 0)),
@@ -470,7 +529,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # drop any padded-row ids (possible only when fewer than k_scan
         # finite candidates exist, e.g. NaN points with k ~ n)
         idx_ok = jnp.where(idx < n_real, idx, -1)
-        best_rd, best_i = rescore_exact(pts_padded, queries, idx_ok, k_eff)
+        if k_scan >= 512:
+            best_rd, best_i = _rescore_large(pts_padded, queries, idx_ok,
+                                             k_eff, interpret)
+        else:
+            best_rd, best_i = rescore_exact(pts_padded, queries, idx_ok,
+                                            k_eff)
         return rd, best_rd, best_i
 
     def to_out(rd):
@@ -487,14 +551,32 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # failure (adversarial data, tiny n) the fold kernel at
         # "highest" recomputes.  The proof is required even at
         # precision="highest": the miss risk is structural, not rounding.
-        passes = 2 if k_scan <= 32 else 4
+        #
+        # passes: the serving-scale small-k regimes keep the measured 2/4
+        # settings (repair absorbs the rare miss); otherwise passes is
+        # sized for the per-tile survivor count — a Poisson(lam =
+        # k_scan*tn/n) variable whose worst tile over the batch the
+        # fixed budget must cover, hence the +3*sqrt(lam) tail slack.
+        lam = k_scan * tn / n_real
+        if k_scan <= 32 and lam <= 0.5:
+            passes = 2
+        elif k_scan <= 128 and lam <= 2.0:
+            passes = 4
+        else:
+            passes = min(48, math.ceil(lam + 3.0 * math.sqrt(lam) + 2.0))
+        if capped_passes is not None:
+            passes = capped_passes
         rd_a, idx, thr = knn_pallas(
             pts_padded, qs, xn_padded, k=k_scan, tq=tq, tn=tn,
             precision=precision, scheme="capped", passes=passes,
             points_split=pts_split if precision == "high" else None,
             interpret=interpret)
         idx_ok = jnp.where(idx < n_real, idx, -1)
-        best_rd, best_i = rescore_exact(pts_padded, qs, idx_ok, k_eff)
+        if k_scan >= 512:
+            best_rd, best_i = _rescore_large(pts_padded, qs, idx_ok,
+                                             k_eff, interpret)
+        else:
+            best_rd, best_i = rescore_exact(pts_padded, qs, idx_ok, k_eff)
         qn = jnp.sum(qs * qs, axis=-1)
         xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded,
                                    0.0))
@@ -522,7 +604,8 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         def _repair(qg):
             rdg, idg = knn_pallas(
                 pts_padded, qg, xn_padded, k=k_scan, tq=gran, tn=tn,
-                precision="highest", sort_output=False, scheme="fold",
+                precision="highest", sort_output=False,
+                scheme="fold" if k_scan <= 1024 else "merge",
                 interpret=interpret)
             idg = jnp.where(idg < n_real, idg, -1)
             return rescore_exact(pts_padded, qg, idg, k_eff)

@@ -474,8 +474,22 @@ def _knn_kernel_capped(xn_ref, q_ref, p_ref, qn_ref,
     bd = best_d[:]
     bi = best_i[:]
     base = nj * tn
-    for _ in range(passes):
-        m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    if passes <= 8:
+        # small budgets unroll (the measured headline configuration)
+        for _ in range(passes):
+            m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    else:
+        # large-k budgets ride a STATIC-trip-count fori_loop: the trip
+        # count is known at compile time, so Mosaic still pipelines grid
+        # steps (the round-3 serialization finding was about the fold
+        # kernel's data-DEPENDENT while_loop) while the trace stays
+        # O(1) in ``passes`` — unrolling 32-48 fold bodies at k ~ 4096
+        # made compilation pathological (minutes per variant)
+        def _body(_, st):
+            m, r, bd, bi = st
+            return _fold_min(m, r, col, bd, bi, base, kcol)
+
+        m, r, bd, bi = jax.lax.fori_loop(0, passes, _body, (m, r, bd, bi))
     best_d[:] = bd
     best_i[:] = bi
     # post-pass tile minimum: >= current working-set max when nothing was
@@ -655,8 +669,10 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
     assert scheme in ("fold", "fold_lazy", "merge", "capped"), scheme
     # merge scheme: O(log k) passes/merge, so the working set can grow
-    # past the fold scheme's practical k ceiling (VMEM is the only limit)
-    assert 1 <= k <= (4096 if scheme == "merge" else 1024), k
+    # past the fold scheme's practical k ceiling (VMEM is the only limit).
+    # capped extends too: its per-pass working-set fold is O(1) passes
+    # regardless of k, and ``passes`` (not k) bounds the extraction work
+    assert 1 <= k <= (4096 if scheme in ("merge", "capped") else 1024), k
     if scheme == "capped":
         assert k <= tn, (k, tn)  # tile-0 seed needs k columns
     assert precision in PRECISIONS, precision

@@ -372,3 +372,54 @@ class TestCappedScheme:
                 - pts[None].astype(np.float64)) ** 2).sum(-1))
         oi = np.argsort(d2, 1, kind="stable")[:, :10]
         assert (np.asarray(ii) == oi).all()
+
+
+class TestCappedLargeK:
+    """Round-3 large-k extension: the capped scheme's pass budget scales
+    with the expected per-tile survivor count, and k_scan >= 512 re-ranks
+    through the chunked direct-form rescore + Pallas bitonic sort
+    (_rescore_large) instead of the (Q, k_scan, d) blob + TopK."""
+
+    def test_large_k_end_to_end_exact(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 4096, 16, 32, 600
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[5] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=1024)
+        dd, ii = bf.knn_pallas_prepadded(pp, pn, jnp.asarray(qs), k, n,
+                                         mu, precision="high", tn=1024,
+                                         interpret=True, scheme="capped")
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        dist = np.sqrt((((qs[:, None].astype(np.float64)
+                          - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        dist = np.where(np.isnan(dist), np.inf, dist)
+        oi = np.argsort(dist, 1, kind="stable")[:, :k]
+        od = np.take_along_axis(dist, oi, 1)
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            assert set(ii[r].tolist()) == set(oi[r].tolist()), r
+        assert (np.diff(dd[~np.isnan(qs).any(1)], axis=1) >= 0).all()
+
+    def test_rescore_large_matches_rescore_exact(self, rng):
+        from petal_neighbors_tpu.ops.bruteforce import _rescore_large
+        from petal_neighbors_tpu.ops.topk import rescore_exact
+        n, d, q, k_in, k = 500, 24, 70, 40, 25
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        idx = rng.integers(-1, n, size=(q, k_in)).astype(np.int32)
+        rd_a, i_a = _rescore_large(jnp.asarray(pts), jnp.asarray(qs),
+                                   jnp.asarray(idx), k, True)
+        rd_b, i_b = rescore_exact(jnp.asarray(pts), jnp.asarray(qs),
+                                  jnp.asarray(idx), k)
+        np.testing.assert_allclose(np.asarray(rd_a), np.asarray(rd_b),
+                                   rtol=1e-6, atol=1e-6)
+        # id sets must agree wherever distances are distinct; compare
+        # via distances to stay tie-robust
+        d_at_a = np.asarray(rd_a)
+        d_at_b = np.asarray(rd_b)
+        np.testing.assert_allclose(d_at_a, d_at_b, rtol=1e-6, atol=1e-6)
