@@ -135,7 +135,7 @@ def main() -> None:
 
     qs_dev = jnp.asarray(queries)
 
-    def timed_batch(k, reps=3):
+    def timed_batch(k, reps=5):
         d, i = index.query_batch(qs_dev, k)
         np.asarray(d)              # NB: block_until_ready does not reliably
         best = float("inf")        # sync through the tunnel; a fetch does

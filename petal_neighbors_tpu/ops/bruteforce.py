@@ -519,11 +519,15 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # the kernel's k-pass extraction sort is pure waste (dominant at
         # large k); the proof threshold below uses the row MAX instead of
         # the last column
+        if scheme in ("two_phase", "capped"):
+            # fallback engine for the proof-gated schemes; fold's
+            # working set caps at 1024, merge covers the rest
+            run_scheme = "fold" if k_scan <= 1024 else "merge"
+        else:
+            run_scheme = scheme
         rd, idx = knn_pallas(pts_padded, qs, xn_padded, k=k_scan, tq=tq,
                              tn=tn, precision=prec, sort_output=False,
-                             scheme="fold" if scheme in ("two_phase",
-                                                         "capped")
-                             else scheme,
+                             scheme=run_scheme,
                              points_split=pts_split, interpret=interpret)
         rd, idx = rd[:q], idx[:q]
         # drop any padded-row ids (possible only when fewer than k_scan
@@ -584,42 +588,49 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
         covered = covered | ~jnp.isfinite(best_rd[:, -1])
 
-        # GROUP-granular repair: a miss needs passes+1 members of a
-        # query's running top-k_scan inside one point tile — measured 22
-        # of 10240 queries at passes=2 on the 1M uniform headline — so a
+        # COMPACTED repair: a miss needs passes+1 members of a query's
+        # running top-k_scan inside one point tile — measured 22 of
+        # 10240 queries at passes=2 on the 1M uniform headline — so a
         # whole-batch fallback would trigger almost every batch while
-        # touching almost no queries.  Failing groups re-run the fold
-        # kernel (at "highest": slack-protected like the precision=
-        # "highest" serving path, no proof needed) under scan+cond: ONE
-        # compiled fold instance, ~zero cost for passing groups.  Group
-        # size 64 < tq: failures are scattered single queries, and the
-        # repair sweep costs ~q_group/q of a full fold pass.
-        gran = 64 if tq % 64 == 0 else tq
-        ng = qs.shape[0] // gran
-        ok_g = jnp.all(covered.reshape(ng, gran), axis=1)
-        qs_g = qs.reshape(ng, gran, dim)
-        brd_g = best_rd.reshape(ng, gran, k_eff)
-        bi_g = best_i.reshape(ng, gran, k_eff)
+        # touching almost no queries, and the previous group-granular
+        # scan (64-query groups, fold re-run per failing group) still
+        # paid ~12% of a full fold pass because 22 scattered queries hit
+        # ~20 groups.  Instead: gather the uncovered queries into ONE
+        # dense mini-batch (cap rows), run one fold instance on it, and
+        # scatter the results back — repair cost is cap/q of a fold pass
+        # regardless of how the misses scatter.  > cap uncovered queries
+        # (adversarial data / tiny n) falls back to a full "highest"
+        # fold pass; both repairs are slack-protected like the
+        # precision="highest" serving path, so no proof is needed.
+        cap = min(256, qs.shape[0])   # qs rows are a multiple of 8
+        n_unc = jnp.sum(~covered)
 
-        def _repair(qg):
+        def _fix(args):
+            brd, bi = args
+            # uncovered-first permutation; NaN/padded rows are covered
+            _, take = jax.lax.top_k((~covered).astype(jnp.float32), cap)
+            qg = qs[take]
             rdg, idg = knn_pallas(
-                pts_padded, qg, xn_padded, k=k_scan, tq=gran, tn=tn,
+                pts_padded, qg, xn_padded, k=k_scan, tq=cap, tn=tn,
                 precision="highest", sort_output=False,
                 scheme="fold" if k_scan <= 1024 else "merge",
                 interpret=interpret)
             idg = jnp.where(idg < n_real, idg, -1)
-            return rescore_exact(pts_padded, qg, idg, k_eff)
+            fr, fi = rescore_exact(pts_padded, qg, idg, k_eff)
+            upd = (~covered)[take][:, None]
+            brd = brd.at[take].set(jnp.where(upd, fr, brd[take]))
+            bi = bi.at[take].set(jnp.where(upd, fi, bi[take]))
+            return brd[:q], bi[:q]
 
-        def _group(_, xs):
-            okg, qg, br, bi = xs
-            out = jax.lax.cond(okg, lambda _: (br, bi),
-                               lambda _: _repair(qg), operand=None)
-            return None, out
+        def _full(args):
+            _, brd, bi = run("highest")
+            return brd, bi
 
-        _, (brd_r, bi_r) = jax.lax.scan(
-            _group, None, (ok_g, qs_g, brd_g, bi_g))
-        best_rd = brd_r.reshape(ng * gran, k_eff)[:q]
-        best_i = bi_r.reshape(ng * gran, k_eff)[:q]
+        best_rd, best_i = jax.lax.cond(
+            n_unc == 0,
+            lambda args: (args[0][:q], args[1][:q]),
+            lambda args: jax.lax.cond(n_unc <= cap, _fix, _full, args),
+            (best_rd, best_i))
         return to_out(best_rd), best_i
 
     if scheme == "two_phase":
