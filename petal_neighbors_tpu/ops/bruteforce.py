@@ -215,15 +215,18 @@ def _pallas_eligible(points, queries, k_eff, metric, force=False):
 def pallas_tile_n(dim: int) -> int:
     """Point-chunk tile length: shrinks at very high dim to fit VMEM.
     4096 measured best at SIFT dims (44.8k QPS vs 42.8k at 2048 on the
-    1M x 128 headline, HIGHEST; same ordering at high/bf16)."""
-    return 4096 if dim <= 256 else 512
+    1M x 128 headline, HIGHEST; same ordering at high/bf16).  At 960-d
+    (GIST shape) 2048 beats the old 512 by 16% (8.9k vs 7.7k QPS
+    kernel-only, r3 sweep) and still fits VMEM with bf16 split planes
+    (~31 MB double-buffered point tiles at d=960)."""
+    return 4096 if dim <= 256 else 2048
 
 
 def pad_granule(dim: int) -> int:
     """Index pad length: a multiple of every kernel tile that may scan
     the padded copy — the tn=4096 fold/merge tiles AND the tn=16384
     subchunk-minima tile of the two-phase path (d <= 256 only)."""
-    return 16384 if dim <= 256 else 512
+    return 16384 if dim <= 256 else 2048
 
 
 def pad_for_pallas(points, point_norms=None, *, tn: int | None = None,
