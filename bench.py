@@ -150,17 +150,20 @@ def main() -> None:
     query_s, ids10 = timed_batch(K)
     qps = N_Q / query_s
 
-    _log("k=100 secondary run (sub-tiled kernel path)")
-    query_s_100, ids100 = timed_batch(100, reps=2)
+    _log("k=100 secondary run (capped kernel path)")
+    query_s_100, ids100 = timed_batch(100, reps=4)
     qps100 = N_Q / query_s_100
 
-    _log("k=1000 run (batch-merge kernel scheme; 2048-q batch)")
+    _log("k=1000 run (capped kernel scheme; 2048-q batch)")
     d1k, i1k = index.query_batch(qs_dev[:2048], 1000)
     np.asarray(d1k)
-    t0 = time.perf_counter()
-    d1k, i1k = index.query_batch(qs_dev[:2048], 1000)
-    np.asarray(d1k)
-    qps1000 = 2048 / (time.perf_counter() - t0)
+    best1k = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d1k, i1k = index.query_batch(qs_dev[:2048], 1000)
+        np.asarray(d1k)
+        best1k = min(best1k, time.perf_counter() - t0)
+    qps1000 = 2048 / best1k
 
     _log("recall oracle: k=10/1024q, k=100/256q, k=1000/64q (f64)")
     n_oracle = 1024
