@@ -55,19 +55,15 @@ _BIG = np.int32(2 ** 31 - 1)
 
 
 @partial(jax.jit, static_argnames=("shape", "chunk", "ablock"))
-def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
-                   lb_eu, *, shape, chunk: int = 2, ablock: int = 256):
-    """One Borůvka round on device, permuted positions as point ids.
-
-    Returns (edge_u, edge_v, edge_w): one candidate minimum outgoing
-    edge per component label (-1 ids / +inf weight for labels without a
-    live component, or for the single surviving component)."""
+def _boruvka_prep(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
+                  lb_eu, *, shape, chunk: int, ablock: int):
+    """Round prep, one launch: tier-1 k-NN-graph candidates, component
+    thresholds, leaf summaries, and the per-A-block sweep inputs."""
     n, dim = pts_perm.shape
     LA = shape.n_leaves
     MA = shape.max_leaf_points
     wdt = pts_perm.dtype
     comp = comp_perm
-    ids = jnp.arange(n, dtype=jnp.int32)
 
     # ---- tier 1: k-NN-graph candidates ----------------------------------
     okk = knn_pos >= 0
@@ -127,58 +123,81 @@ def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
     acore_b = pad_a(jnp.where(a_valid, core_perm[apos_s], jnp.inf),
                     jnp.inf).reshape(nab, AB, MA)
     acomp_b = pad_a(lcomp, -1).reshape(nab, AB, MA)
+    return (bp_w, bp_j, apos_s, a_valid,
+            order_b, lbs_b, tau_b, avalid_b, apts_b, acore_b, acomp_b)
 
-    def sweep_block(_, xs):
-        ordx, lbx, taux, avx, aptsx, acorex, acompx = xs
-        bw0 = jnp.full((AB, MA), jnp.inf, wdt)
-        bj0 = jnp.full((AB, MA), -1, dtype=jnp.int32)
 
-        def cond(st):
-            ci = st[2]
-            nxt = jax.lax.dynamic_slice(lbx, (jnp.int32(0), ci * C),
-                                        (AB, 1))[:, 0]
-            return (ci < n_chunks) & jnp.any(nxt <= taux)
+@partial(jax.jit, static_argnames=("shape", "chunk"))
+def _boruvka_sweep_block(pts_perm, core_perm, comp_perm, ordx, lbx, taux,
+                         avx, aptsx, acorex, acompx, *, shape,
+                         chunk: int):
+    """Component-aware dual-leaf sweep for ONE block of A-leaves — one
+    bounded launch per block (the whole-round scan-of-while_loops was a
+    single launch whose runtime scaled with every straggler leaf, long
+    enough to hit worker execution limits at ~1M points)."""
+    LA = shape.n_leaves
+    MA = shape.max_leaf_points
+    wdt = pts_perm.dtype
+    comp = comp_perm
+    starts_np, counts_np = _leaf_tables(shape)
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
+    m_ar = jnp.arange(MA, dtype=jnp.int32)
+    AB = ordx.shape[0]
+    C = max(1, min(chunk, LA))
+    n_chunks = -(-LA // C)
 
-        def body(st):
-            bw, bj, ci = st
-            b_ids = jax.lax.dynamic_slice(ordx, (jnp.int32(0), ci * C),
-                                          (AB, C))
-            s = leaf_start[b_ids]
-            cntb = leaf_count[b_ids]
-            bpos = s[..., None] + m_ar[None, None, :]              # (AB,C,MA)
-            bval = m_ar[None, None, :] < cntb[..., None]
-            bpos_s = jnp.where(bval, bpos, 0)
-            bpts = pts_perm[bpos_s]
-            bcore = jnp.where(bval, core_perm[bpos_s], jnp.inf)
-            bcomp = jnp.where(bval, comp[bpos_s], -2)
+    bw0 = jnp.full((AB, MA), jnp.inf, wdt)
+    bj0 = jnp.full((AB, MA), -1, dtype=jnp.int32)
 
-            diff = aptsx[:, :, None, None, :] - bpts[:, None, :, :, :]
-            d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))     # (AB,MA,C,MA)
-            w = jnp.maximum(jnp.maximum(acorex[:, :, None, None],
-                                        bcore[:, None]), d)
-            othr = ((bcomp[:, None] != acompx[:, :, None, None])
-                    & bval[:, None] & avx[:, :, None, None])
-            w = jnp.where(othr & ~jnp.isnan(w), w, jnp.inf
-                          ).reshape(AB, MA, C * MA)
-            jj = jnp.broadcast_to(bpos_s[:, None],
-                                  (AB, MA, C, MA)).reshape(AB, MA, C * MA)
-            sl = jnp.argmin(w, axis=2)
-            cw = jnp.take_along_axis(w, sl[..., None], 2)[..., 0]
-            cj = jnp.take_along_axis(jj, sl[..., None], 2)[..., 0]
-            better = cw < bw
-            bw = jnp.where(better, cw, bw)
-            bj = jnp.where(better, cj, bj)
-            return bw, bj, ci + 1
+    def cond(st):
+        ci = st[2]
+        nxt = jax.lax.dynamic_slice(lbx, (jnp.int32(0), ci * C),
+                                    (AB, 1))[:, 0]
+        return (ci < n_chunks) & jnp.any(nxt <= taux)
 
-        bw, bj, _ = jax.lax.while_loop(cond, body, (bw0, bj0, jnp.int32(0)))
-        return None, (bw, bj)
+    def body(st):
+        bw, bj, ci = st
+        b_ids = jax.lax.dynamic_slice(ordx, (jnp.int32(0), ci * C),
+                                      (AB, C))
+        s = leaf_start[b_ids]
+        cntb = leaf_count[b_ids]
+        bpos = s[..., None] + m_ar[None, None, :]              # (AB,C,MA)
+        bval = m_ar[None, None, :] < cntb[..., None]
+        bpos_s = jnp.where(bval, bpos, 0)
+        bpts = pts_perm[bpos_s]
+        bcore = jnp.where(bval, core_perm[bpos_s], jnp.inf)
+        bcomp = jnp.where(bval, comp[bpos_s], -2)
 
-    _, (sw, sj) = jax.lax.scan(
-        sweep_block, None,
-        (order_b, lbs_b, tau_b, avalid_b, apts_b, acore_b, acomp_b))
-    sw = sw.reshape(nab * AB, MA)[:LA]
-    sj = sj.reshape(nab * AB, MA)[:LA]
+        diff = aptsx[:, :, None, None, :] - bpts[:, None, :, :, :]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))     # (AB,MA,C,MA)
+        w = jnp.maximum(jnp.maximum(acorex[:, :, None, None],
+                                    bcore[:, None]), d)
+        othr = ((bcomp[:, None] != acompx[:, :, None, None])
+                & bval[:, None] & avx[:, :, None, None])
+        w = jnp.where(othr & ~jnp.isnan(w), w, jnp.inf
+                      ).reshape(AB, MA, C * MA)
+        jj = jnp.broadcast_to(bpos_s[:, None],
+                              (AB, MA, C, MA)).reshape(AB, MA, C * MA)
+        sl = jnp.argmin(w, axis=2)
+        cw = jnp.take_along_axis(w, sl[..., None], 2)[..., 0]
+        cj = jnp.take_along_axis(jj, sl[..., None], 2)[..., 0]
+        better = cw < bw
+        bw = jnp.where(better, cw, bw)
+        bj = jnp.where(better, cj, bj)
+        return bw, bj, ci + 1
 
+    bw, bj, _ = jax.lax.while_loop(cond, body, (bw0, bj0, jnp.int32(0)))
+    return bw, bj
+
+
+@jax.jit
+def _boruvka_combine(sw, sj, apos_s, a_valid, bp_w, bp_j, comp):
+    """Merge sweep winners with tier-1 candidates -> one candidate
+    minimum outgoing edge per component label."""
+    n = bp_w.shape[0]
+    wdt = bp_w.dtype
+    ids = jnp.arange(n, dtype=jnp.int32)
     # leaf-grouped -> per permuted position (each position sits in
     # exactly one leaf slot: a plain scatter)
     pos_flat = apos_s.reshape(-1)
@@ -202,6 +221,33 @@ def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
     v = pt_j[u]
     return (jnp.where(has, u, -1), jnp.where(has, v, -1),
             jnp.where(has, pt_w[u], jnp.inf))
+
+
+def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
+                   lb_eu, *, shape, chunk: int = 2, ablock: int = 256):
+    """One Borůvka round, host-driven: a prep launch, one bounded sweep
+    launch per A-leaf block, a combine launch.  Returns (edge_u, edge_v,
+    edge_w): one candidate minimum outgoing edge per component label
+    (-1 ids / +inf weight for labels without a live component, or for
+    the single surviving component)."""
+    (bp_w, bp_j, apos_s, a_valid, order_b, lbs_b, tau_b, avalid_b,
+     apts_b, acore_b, acomp_b) = _boruvka_prep(
+        pts_perm, core_perm, comp_perm, knn_pos, knn_d, lb_eu,
+        shape=shape, chunk=chunk, ablock=ablock)
+    sws, sjs = [], []
+    for b in range(order_b.shape[0]):
+        bw, bj = _boruvka_sweep_block(
+            pts_perm, core_perm, comp_perm, order_b[b], lbs_b[b],
+            tau_b[b], avalid_b[b], apts_b[b], acore_b[b], acomp_b[b],
+            shape=shape, chunk=chunk)
+        sws.append(bw)
+        sjs.append(bj)
+    LA = shape.n_leaves
+    MA = shape.max_leaf_points
+    sw = jnp.concatenate(sws, axis=0)[:LA]
+    sj = jnp.concatenate(sjs, axis=0)[:LA]
+    return _boruvka_combine(sw, sj, apos_s, a_valid, bp_w, bp_j,
+                            comp_perm)
 
 
 class _DSU:

@@ -52,99 +52,170 @@ def _leaf_row_of_pos(shape):
     return (leaf * shape.max_leaf_points + m).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "shape_a", "shape_b", "metric",
-                                   "chunk"))
-def _dual_knn(pts_a, pts_b, ca, ra, cb, rb, orig_b, row_of_pos_a,
-              pos_of_id_a, center, *, k: int, shape_a, shape_b,
-              metric: Metric, chunk: int = 4):
-    """One jitted program: (distances, B ids), both (nA, k) ascending in
-    ORIGINAL A point order.  ``pts_a``/``pts_b`` are the trees' permuted
-    points; ``ca``/``ra``/``cb``/``rb`` the leaf ball geometry."""
-    nA, dim = pts_a.shape
-    nB = pts_b.shape[0]
+@partial(jax.jit, static_argnames=("k", "MA", "MB", "C", "n_chunks",
+                                   "padB", "LB", "metric"))
+def _dual_knn_block(pts_a, pts_b, cb_c, rb, b_start, b_count, ca_blk,
+                    ra_blk, apos_blk, a_valid, *, k: int, MA: int, MB: int,
+                    C: int, n_chunks: int, padB: int, LB: int,
+                    metric: Metric):
+    """Best-first chunked B-leaf scan for ONE block of A-leaves.
+
+    One jitted program per block (re-used across blocks — shapes are
+    identical), dispatched from the host loop in ``_dual_knn``: the
+    per-step difference tile is (LAc, MA, C, MB, d) f32, and a SINGLE
+    launch stays seconds-bounded even when a block's straggler leaf
+    scans far (one fused whole-join program scaled both with the total
+    leaf count — 63 GB transient at 1M x 8-d — and with the worst leaf's
+    trip count, long enough to hit launch execution limits: the TPU
+    worker crashed from ~300k points)."""
+    LAc = ca_blk.shape[0]
+    dim = pts_a.shape[1]
     dtype = pts_a.dtype
-    LA, MA = shape_a.n_leaves, shape_a.max_leaf_points
-    LB, MB = shape_b.n_leaves, shape_b.max_leaf_points
-
-    # --- leaf-pair bounds: the whole node-pair frontier in one matmul ---
-    ca_c = ca if center is None else ca - center
-    cb_c = cb if center is None else cb - center
-    d_cc = _guarded_centroid_dist(ca_c, cb_c, metric)        # (LA, LB)
-    lb = jnp.maximum(d_cc - ra[:, None] - rb[None, :], 0.0)
-    lb = jnp.maximum(
-        lb - _bound_slack(dtype) * (d_cc + ra[:, None] + rb[None, :]), 0.0)
-    lb = jnp.where(jnp.isnan(lb), 0.0, lb)                   # NaN never prunes
-
-    order = jnp.argsort(lb, axis=1).astype(jnp.int32)        # (LA, LB)
-    lb_sorted = jnp.take_along_axis(lb, order, axis=1)
-
-    C = max(1, min(chunk, LB))
-    n_chunks = -(-LB // C)
-    pad = n_chunks * C - LB
-    if pad:
-        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=LB)
-        lb_sorted = jnp.pad(lb_sorted, ((0, 0), (0, pad)),
-                            constant_values=jnp.inf)
-
-    # --- leaf-grouped member points ---
-    a_start, a_count = (jnp.asarray(x) for x in _leaf_tables(shape_a))
-    b_start, b_count = (jnp.asarray(x) for x in _leaf_tables(shape_b))
-    m_a = jnp.arange(MA, dtype=jnp.int32)
+    slack = _bound_slack(dtype)
     m_b = jnp.arange(MB, dtype=jnp.int32)
-    apos = a_start[:LA, None] + m_a[None, :]                 # (LA, MA)
-    a_valid = m_a[None, :] < a_count[:LA, None]
-    apts = pts_a[jnp.where(a_valid, apos, 0)]                # (LA, MA, d)
+
+    # leaf-pair bounds for this block's node-pair frontier
+    d_cc = _guarded_centroid_dist(ca_blk, cb_c, metric)      # (LAc, LB)
+    lb = jnp.maximum(d_cc - ra_blk[:, None] - rb[None, :], 0.0)
+    lb = jnp.maximum(
+        lb - slack * (d_cc + ra_blk[:, None] + rb[None, :]), 0.0)
+    lb = jnp.where(jnp.isnan(lb), 0.0, lb)                   # NaN never prunes
+    order = jnp.argsort(lb, axis=1).astype(jnp.int32)
+    lb_sorted = jnp.take_along_axis(lb, order, axis=1)
+    if padB:
+        # sentinel leaf id LB: _leaf_tables appends a (start 0, count 0)
+        # row, so padded columns contribute nothing
+        order = jnp.pad(order, ((0, 0), (0, padB)), constant_values=LB)
+        lb_sorted = jnp.pad(lb_sorted, ((0, 0), (0, padB)),
+                            constant_values=jnp.inf)
+    apts = pts_a[jnp.where(a_valid, apos_blk, 0)]            # (LAc, MA, d)
 
     def group_tau(best_rd):
         """Per-A-leaf stop threshold: max member k-th DISTANCE (invalid
         rows contribute -inf so padded members never block stopping)."""
         kth = metric.rdistance_to_distance(
-            best_rd.reshape(LA, MA, k)[..., -1])
-        return jnp.max(jnp.where(a_valid, kth, -jnp.inf), axis=1)  # (LA,)
+            best_rd.reshape(LAc, MA, k)[..., -1])
+        return jnp.max(jnp.where(a_valid, kth, -jnp.inf), axis=1)
 
     def cond(state):
         best_rd, _, ci = state
         nxt = jax.lax.dynamic_slice(lb_sorted, (jnp.int32(0), ci * C),
-                                    (LA, 1))[:, 0]
+                                    (LAc, 1))[:, 0]
         return (ci < n_chunks) & jnp.any(nxt <= group_tau(best_rd))
 
     def body(state):
         best_rd, best_pp, ci = state
         b_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C),
-                                      (LA, C))               # (LA, C)
+                                      (LAc, C))              # (LAc, C)
         s = b_start[b_ids]
         cnt = b_count[b_ids]
-        bpos = s[..., None] + m_b[None, None, :]             # (LA, C, MB)
+        bpos = s[..., None] + m_b[None, None, :]             # (LAc, C, MB)
         b_valid = m_b[None, None, :] < cnt[..., None]
         bpos = jnp.where(b_valid, bpos, 0)
-        bpts = pts_b[bpos]                                   # (LA, C, MB, d)
+        bpts = pts_b[bpos]                                   # (LAc, C, MB, d)
 
         if isinstance(metric, Euclidean):
             # direct difference form: exact to rounding at any dim
             diff = apts[:, :, None, None, :] - bpts[:, None, :, :, :]
-            rd = jnp.sum(diff * diff, axis=-1)               # (LA, MA, C, MB)
+            rd = jnp.sum(diff * diff, axis=-1)               # (LAc,MA,C,MB)
         else:
-            flat_b = bpts.reshape(LA, C * MB, dim)
-            rd = jax.vmap(metric.rdist)(apts, flat_b).reshape(LA, MA, C, MB)
+            flat_b = bpts.reshape(LAc, C * MB, dim)
+            rd = jax.vmap(metric.rdist)(apts, flat_b).reshape(
+                LAc, MA, C, MB)
         rd = jnp.where(b_valid[:, None], nan_to_inf(rd), jnp.inf)
-        rd = rd.reshape(LA * MA, C * MB)
+        rd = rd.reshape(LAc * MA, C * MB)
         pids = jnp.broadcast_to(
-            jnp.where(b_valid, bpos, -1)[:, None], (LA, MA, C, MB)
-        ).reshape(LA * MA, C * MB)
+            jnp.where(b_valid, bpos, -1)[:, None], (LAc, MA, C, MB)
+        ).reshape(LAc * MA, C * MB)
 
         best_rd, best_pp = merge_topk(rd, pids, best_rd, best_pp, k)
         return best_rd, best_pp, ci + 1
 
-    init = (jnp.full((LA * MA, k), jnp.inf, dtype=dtype),
-            jnp.full((LA * MA, k), -1, dtype=jnp.int32),
+    init = (jnp.full((LAc * MA, k), jnp.inf, dtype=dtype),
+            jnp.full((LAc * MA, k), -1, dtype=jnp.int32),
             jnp.int32(0))
     best_rd, best_pp, _ = jax.lax.while_loop(cond, body, init)
+    return best_rd, best_pp
 
+
+@partial(jax.jit, static_argnames=("metric",))
+def _dual_finish(best_rd, best_pp, row_of_pos_a, pos_of_id_a, orig_b, *,
+                 metric: Metric):
     # leaf-grouped rows -> permuted A order -> original A id order
     best_rd = best_rd[row_of_pos_a][pos_of_id_a]             # (nA, k)
     best_pp = best_pp[row_of_pos_a][pos_of_id_a]
     ids = jnp.where(best_pp >= 0, orig_b[jnp.maximum(best_pp, 0)], -1)
     return monotone_distances(metric.rdistance_to_distance(best_rd)), ids
+
+
+@partial(jax.jit, static_argnames=("padA",))
+def _dual_prep(ca, ra, cb, center, *, padA: int):
+    ca_c = ca if center is None else ca - center
+    cb_c = cb if center is None else cb - center
+    if padA:
+        # padded A-leaves are empty (count 0): tau = -inf, their loop
+        # contributes nothing and their rows are dropped by _dual_finish
+        ca_c = jnp.pad(ca_c, ((0, padA), (0, 0)))
+        ra = jnp.pad(ra, (0, padA))
+    return ca_c, cb_c, ra
+
+
+def _dual_knn(pts_a, pts_b, ca, ra, cb, rb, orig_b, row_of_pos_a,
+              pos_of_id_a, center, *, k: int, shape_a, shape_b,
+              metric: Metric, chunk: int = 4):
+    """Host driver: (distances, B ids), both (nA, k) ascending in
+    ORIGINAL A point order.  ``pts_a``/``pts_b`` are the trees' permuted
+    points; ``ca``/``ra``/``cb``/``rb`` the leaf ball geometry.
+
+    Deliberately NOT one fused program (unlike the serving paths): the
+    join dispatches one bounded launch per A-leaf block plus a prep and
+    a finish program.  The extra dispatch round-trips are noise against
+    the join's seconds-scale runtime, and block-sized launches are what
+    keep the transient memory flat and each launch under the worker's
+    execution limits at 1M+ points."""
+    dim = pts_a.shape[1]
+    LA, MA = shape_a.n_leaves, shape_a.max_leaf_points
+    LB, MB = shape_b.n_leaves, shape_b.max_leaf_points
+
+    C = max(1, min(chunk, LB))
+    n_chunks = -(-LB // C)
+    padB = n_chunks * C - LB
+
+    # A-leaf block size: keep the (LAc, MA, C, MB, d) difference tile
+    # near <= 256 MB f32
+    per_leaf = MA * C * MB * dim * 4
+    LAc = int(max(1, min(LA, (1 << 28) // max(per_leaf, 1))))
+    nblk = -(-LA // LAc)
+    padA = nblk * LAc - LA
+
+    # host-side leaf-grouped member tables (static geometry)
+    a_start_np, a_count_np = _leaf_tables(shape_a)
+    b_tabs = [jnp.asarray(x) for x in _leaf_tables(shape_b)]
+    m_a = np.arange(MA, dtype=np.int32)
+    apos_np = (a_start_np[:LA, None] + m_a[None, :]).astype(np.int32)
+    a_valid_np = m_a[None, :] < a_count_np[:LA, None]
+    if padA:
+        apos_np = np.pad(apos_np, ((0, padA), (0, 0)))
+        a_valid_np = np.pad(a_valid_np, ((0, padA), (0, 0)))
+    apos_d = jnp.asarray(apos_np)
+    a_valid_d = jnp.asarray(a_valid_np)
+
+    ca_c, cb_c, ra_p = _dual_prep(ca, ra, cb, center, padA=padA)
+
+    brs, bps = [], []
+    for b in range(nblk):
+        sl = slice(b * LAc, (b + 1) * LAc)
+        br, bp = _dual_knn_block(
+            pts_a, pts_b, cb_c, rb, b_tabs[0], b_tabs[1],
+            ca_c[sl], ra_p[sl], apos_d[sl], a_valid_d[sl],
+            k=k, MA=MA, MB=MB, C=C, n_chunks=n_chunks, padB=padB,
+            LB=LB, metric=metric)
+        brs.append(br)
+        bps.append(bp)
+    best_rd = jnp.concatenate(brs, axis=0)
+    best_pp = jnp.concatenate(bps, axis=0)
+    return _dual_finish(best_rd, best_pp, row_of_pos_a, pos_of_id_a,
+                        orig_b, metric=metric)
 
 
 def dual_tree_knn(tree_a, tree_b, k: int):
