@@ -364,6 +364,138 @@ def _vp_knn_flat(points, queries, trunk_pts, members, anc_t, anc_near,
     return best_d, best_i, stats
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "tile_q",
+                                   "with_stats"))
+def _vp_knn_flat_tiled(points, queries, trunk_pts, members, anc_t, anc_near,
+                       anc_rho, *, k: int, metric: Metric,
+                       chunk: int | None = None, tile_q: int = 128,
+                       with_stats: bool = False):
+    """Exact batched k-NN over the flattened VP tree with a TILE-SHARED
+    subtree frontier (the ball tree's round-3 scheme, ball_query.
+    knn_query_tiled, applied to the VP cut-subtree scan).
+
+    ``_vp_knn_flat`` gathers each query's own next subtrees: a
+    (Q, C, M, d) member gather from HBM per loop step.  Here queries are
+    locality-sorted by their most-promising subtree, and each tile of
+    ``tile_q`` neighbors shares ONE subtree visit order (ascending
+    min-over-tile tau bound): the gather shrinks by the tile factor and
+    every gathered member block is reused by all tile_q queries.
+
+    Exactness: the loop stops only when every query's next shared bound
+    exceeds its k-th distance; the tile bound is a min over the tile,
+    hence <= the query's own tau bound, so every subtree the reference
+    descent (vantage_point_tree.rs:111-129) would visit is scanned —
+    only visit order and wasted visits differ.  The top-k merge is
+    k-pass min-extraction (small k only; callers route large k to
+    ``_vp_knn_flat``).
+    """
+    from .ball_query import _bound_slack, _direct_dist_chunked
+    from .ball_query import _merge_small_k
+
+    n, dim = points.shape
+    q = queries.shape[0]
+    dtype = points.dtype
+    T = trunk_pts.shape[0]
+    S, M = members.shape
+
+    # --- dense trunk distances -> per-query initial best -----------------
+    dq = _direct_dist_chunked(queries, points[trunk_pts], metric,
+                              max(1, (1 << 22) // max(q, 1)))      # (Q, T)
+    valid_t = (trunk_pts >= 0)[None, :]
+    cand_d = jnp.where(valid_t, nan_to_inf(dq), jnp.inf)
+    cand_i = jnp.where(valid_t, trunk_pts[None, :], -1)
+    from ..ops.topk import smallest_k
+    best_d, best_i = smallest_k(cand_d,
+                                jnp.broadcast_to(cand_i, cand_d.shape), k)
+
+    # --- per-subtree tau lower bounds (same arithmetic as _vp_knn_flat) --
+    dq_anc = dq[:, anc_t]                                   # (Q, S, D)
+    contrib = jnp.where(anc_near[None], dq_anc - anc_rho[None],
+                        anc_rho[None] - dq_anc)
+    rho_fin = jnp.where(jnp.isfinite(anc_rho), anc_rho, 0.0)
+    contrib = contrib - _bound_slack(dtype) * (dq_anc + rho_fin[None])
+    lb = jnp.maximum(jnp.max(contrib, axis=-1), 0.0)        # (Q, S)
+    lb = jnp.where(jnp.isnan(lb), 0.0, lb)
+    lb = jnp.where(jnp.any(members >= 0, axis=1)[None, :], lb, jnp.inf)
+
+    # --- locality sort: group queries by their most-promising subtree ----
+    tq = max(1, min(tile_q, q))
+    Tt = -(-q // tq)
+    qpad = Tt * tq - q
+    best_sub = jnp.argmin(lb, axis=1).astype(jnp.int32)
+    qorder = jnp.argsort(best_sub, stable=True).astype(jnp.int32)
+    if qpad:
+        # pad with repeats of the last query: harmless extra work
+        qorder = jnp.concatenate(
+            [qorder, jnp.broadcast_to(qorder[-1:], (qpad,))])
+    qs_t = queries[qorder].reshape(Tt, tq, dim)
+    lb_tile = jnp.min(lb[qorder].reshape(Tt, tq, S), axis=1)  # (Tt, S)
+    best_d = best_d[qorder].reshape(Tt, tq, k)
+    best_i = best_i[qorder].reshape(Tt, tq, k)
+
+    order_t = jnp.argsort(lb_tile, axis=1).astype(jnp.int32)  # (Tt, S)
+    lbt_sorted = jnp.take_along_axis(lb_tile, order_t, axis=1)
+
+    if chunk is None:
+        # keep the per-step distance tensor (Tt, tq, C, M) near 32 MB f32
+        chunk = max(1, min((1 << 23) // max(Tt * tq * M, 1), 8))
+    C = max(1, min(chunk, S))
+    n_chunks = -(-S // C)
+    pad = n_chunks * C - S
+    if pad:
+        order_t = jnp.pad(order_t, ((0, 0), (0, pad)), constant_values=S)
+        lbt_sorted = jnp.pad(lbt_sorted, ((0, 0), (0, pad)),
+                             constant_values=jnp.inf)
+
+    def cond(state):
+        best_d, _, ci = state
+        nxt = jax.lax.dynamic_slice(lbt_sorted, (jnp.int32(0), ci * C),
+                                    (Tt, 1))[:, 0]            # (Tt,)
+        return (ci < n_chunks) & jnp.any(nxt[:, None] <= best_d[..., -1])
+
+    def body(state):
+        best_d, best_i, ci = state
+        sub_ids = jax.lax.dynamic_slice(order_t, (jnp.int32(0), ci * C),
+                                        (Tt, C))              # (Tt, C)
+        real = sub_ids < S
+        pos = members[jnp.minimum(sub_ids, S - 1)]            # (Tt, C, M)
+        valid = (pos >= 0) & real[:, :, None]
+        pts = points[jnp.maximum(pos, 0)]                     # (Tt, C, M, d)
+        if isinstance(metric, Euclidean):
+            diff = pts[:, None] - qs_t[:, :, None, None, :]   # (Tt,tq,C,M,d)
+            d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        else:
+            flat = pts.reshape(Tt, C * M, dim)
+            d = jax.vmap(lambda qq, xx: metric.dist(qq, xx))(
+                qs_t, flat).reshape(Tt, tq, C, M)
+        d = jnp.where(valid[:, None], nan_to_inf(d),
+                      jnp.inf).reshape(Tt, tq, C * M)
+        ids = jnp.broadcast_to(jnp.where(valid, pos, -1)[:, None],
+                               (Tt, tq, C, M)).reshape(Tt, tq, C * M)
+        best_d, best_i = _merge_small_k(d, ids, best_d, best_i, k)
+        return best_d, best_i, ci + 1
+
+    best_d, best_i, chunks_done = jax.lax.while_loop(
+        cond, body, (best_d, best_i, jnp.int32(0)))
+
+    best_d = best_d.reshape(Tt * tq, k)
+    best_i = best_i.reshape(Tt * tq, k)
+    # un-permute to caller order (padded repeats drop out)
+    inv = jnp.zeros((q,), dtype=jnp.int32).at[qorder].set(
+        jnp.arange(Tt * tq, dtype=jnp.int32), mode="drop")
+    best_d = best_d[inv]
+    best_i = best_i[inv]
+
+    if not with_stats:
+        return best_d, best_i
+    stats = {"n_subtrees": jnp.int32(S),
+             "loop_chunks": chunks_done,
+             "chunk_size": jnp.int32(C),
+             "n_tiles": jnp.int32(Tt),
+             "trunk_size": jnp.int32(T)}
+    return best_d, best_i, stats
+
+
 def _build_host(points: np.ndarray, metric: Metric):
     """Reference-semantics host build (vantage_point_tree.rs:132-197).
 
@@ -625,16 +757,43 @@ class VantagePointTree:
         d, i = self._knn(qv[None, :], k_eff)
         return np.asarray(i[0]).astype(np.int64), np.asarray(d[0])
 
-    def query_batch(self, queries, k: int, *, with_stats: bool = False):
+    def query_batch(self, queries, k: int, *, with_stats: bool = False,
+                    scheme: str = "auto"):
         """Batched k-NN. ``with_stats=True`` also returns pruning
         observability counters (subtrees surviving the final bound,
-        loop chunks processed — SURVEY.md §5)."""
+        loop chunks processed — SURVEY.md §5).
+
+        ``scheme``: "auto" picks the TILE-SHARED subtree frontier
+        (``_vp_knn_flat_tiled`` — queries locality-sorted, each tile
+        sharing one subtree visit order, min-extraction merge) for
+        low-dim small-k large batches, else the per-query best-first
+        scan; "per_query" / "tiled" force one.
+        """
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.n)
         if k_eff == 0:
             empty = (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
                      jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
             return (*empty, {}) if with_stats else empty
+        if scheme not in ("auto", "per_query", "tiled"):
+            raise ValueError(f"unknown scheme {scheme!r}")
+        if scheme == "auto":
+            # the tiled scheme trades ~tile-union waste in distance work
+            # for a tile_q-fold smaller member gather; measured on v5e it
+            # wins in the mid-size-batch gather-bound regime (config2
+            # shape, 4k queries: 80.5k vs 58.3k QPS) and only breaks even
+            # at 1k (dispatch-bound) and 10k+ (waste catches up) — see
+            # BENCH_NOTES round 3
+            scheme = ("tiled" if (self.dim <= 8 and k_eff <= 16
+                                  and 2048 <= qs.shape[0] < 8192
+                                  and isinstance(self.metric, Euclidean))
+                      else "per_query")
+        if scheme == "tiled":
+            trunk_pts, members, anc_t, anc_near, anc_rho = self._flat_tables()
+            return _vp_knn_flat_tiled(
+                self.points, qs, trunk_pts, members, anc_t, anc_near,
+                anc_rho, k=k_eff, metric=self.metric,
+                with_stats=with_stats)
         return self._knn(qs, k_eff, with_stats=with_stats)
 
     def query_nearest_batch(self, queries):

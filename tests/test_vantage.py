@@ -206,6 +206,42 @@ class TestFlatEngine:
             np.testing.assert_allclose(d[r], np.sort(od)[:5],
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("n,q,k", [(4000, 2100, 5), (900, 2048, 16),
+                                       (3000, 2500, 10)])
+    def test_tiled_matches_oracle_and_per_query(self, rng, n, q, k):
+        """The tile-shared subtree frontier is a pure efficiency scheme:
+        identical result sets to the per-query scan and the oracle."""
+        pts = rng.normal(size=(n, 2)).astype(np.float32)
+        qs = rng.normal(size=(q, 2)).astype(np.float32)
+        vp = VantagePointTree.euclidean(pts)
+        d_t, i_t = vp.query_batch(qs, k, scheme="tiled")
+        d_p, i_p = vp.query_batch(qs, k, scheme="per_query")
+        np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_p),
+                                   rtol=1e-6, atol=1e-6)
+        dd = np.sqrt(((qs[:64, None, :].astype(np.float64)
+                       - pts[None].astype(np.float64)) ** 2).sum(-1))
+        od = np.sort(dd, axis=1)[:, :k]
+        np.testing.assert_allclose(np.asarray(d_t)[:64], od,
+                                   rtol=1e-5, atol=1e-5)
+        # auto routing picks the tiled scheme in this regime
+        d_a, i_a = vp.query_batch(qs, k)
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_t))
+
+    def test_tiled_nan_and_duplicates(self):
+        """NaN points never surface (inf distance) and duplicate points
+        keep exact distance multiplicity under the tiled scheme."""
+        rng = np.random.default_rng(9)
+        pts = rng.normal(size=(800, 2)).astype(np.float32)
+        pts[5] = np.nan
+        pts[100:110] = pts[99]
+        qs = rng.normal(size=(2048, 2)).astype(np.float32)
+        vp = VantagePointTree.euclidean(pts)
+        d_t, i_t = vp.query_batch(qs, 4, scheme="tiled")
+        d_p, _ = vp.query_batch(qs, 4, scheme="per_query")
+        np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_p),
+                                   rtol=1e-6, atol=1e-6)
+        assert not (np.asarray(i_t) == 5).any()
+
     def test_k_equals_n_scans_everything(self, rng):
         """k = n keeps the k-th distance at the true maximum: no subtree
         may be skipped and all n results must come back sorted."""
