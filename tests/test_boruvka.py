@@ -55,6 +55,40 @@ class TestBoruvkaMST:
         np.testing.assert_allclose(np.sort(ws), want, rtol=1e-5,
                                    atol=1e-6)
 
+    @pytest.mark.parametrize("scheme", ["scan", "dual"])
+    @pytest.mark.parametrize("n,d,k", [(400, 8, 5), (900, 5, 4)])
+    def test_schemes_match_dense_oracle(self, rng, scheme, n, d, k):
+        """Both round engines (dense masked scan / dual-leaf sweep) are
+        exact; dim >= 4 exercises the auto=scan regime."""
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        us, vs, ws = mutual_reachability_mst(pts, k, scheme=scheme)
+        assert len(us) == n - 1
+        _check_tree(us, vs, n)
+        want = _oracle_mst_weights(_mr_matrix(pts.astype(np.float64), k))
+        np.testing.assert_allclose(np.sort(ws), want, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_scan_round_partial_chunks(self, rng):
+        """n not divisible by the scan tile sizes: padded j rows carry
+        +inf core and padded i rows are dropped."""
+        import jax.numpy as jnp
+        from petal_neighbors_tpu.trees.boruvka import _scan_round
+        n = 137
+        pts = rng.standard_normal((n, 4)).astype(np.float32)
+        dmat = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        core = np.sort(dmat, axis=1)[:, 3]
+        comp = (np.arange(n) % 7).astype(np.int32)
+        eu, ev, ew = _scan_round(jnp.asarray(pts), jnp.asarray(core),
+                                 jnp.asarray(comp), qchunk=32, nchunk=64)
+        eu, ev, ew = np.asarray(eu), np.asarray(ev), np.asarray(ew)
+        mr = np.maximum(dmat, np.maximum(core[:, None], core[None, :]))
+        for c in range(7):
+            rows = comp == c
+            m = mr[rows][:, ~rows].min()
+            assert np.isfinite(ew[c])
+            assert abs(ew[c] - m) < 1e-5
+            assert comp[eu[c]] == c and comp[ev[c]] != c
+
     def test_heavy_ties_duplicates(self, rng):
         """Duplicate points create mutual-reachability weight plateaus —
         the regime where an inconsistent tie-break yields cycles."""
