@@ -250,6 +250,20 @@ def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
                             comp_perm)
 
 
+def _rd_unrolled(q, p):
+    """(qc, nc) squared Euclidean distances, dim unrolled into
+    elementwise (qc, nc) terms.  The broadcast ``(qc, nc, dim)``
+    difference tensor pads its minor dim-8 axis to 128 lanes when
+    materialized (measured 3.1x slower at 300k); the unrolled form stays
+    in 2-D tiles XLA fuses into one pass.  Same direct-form
+    exact-to-rounding arithmetic (sequential sum over dims)."""
+    acc = None
+    for dd in range(q.shape[1]):
+        t = q[:, dd][:, None] - p[:, dd][None, :]
+        acc = t * t if acc is None else acc + t * t
+    return acc
+
+
 @partial(jax.jit, static_argnames=("qchunk", "nchunk"))
 def _scan_round(pts, core, comp, *, qchunk: int = 4096,
                 nchunk: int = 16384):
@@ -298,8 +312,7 @@ def _scan_round(pts, core, comp, *, qchunk: int = 4096,
         def nbody(carry, nin):
             bw, bj = carry
             p, cn, compn, base = nin
-            diff = q[:, None, :] - p[None, :, :]
-            rd = jnp.sum(diff * diff, axis=-1)             # (qc, nc)
+            rd = _rd_unrolled(q, p)                        # (qc, nc)
             w = jnp.maximum(jnp.maximum(rd, cq[:, None]), cn[None, :])
             w = jnp.where(compn[None, :] == compq[:, None], jnp.inf, w)
             m = jnp.min(w, axis=1)
@@ -327,6 +340,72 @@ def _scan_round(pts, core, comp, *, qchunk: int = 4096,
     v = pt_j[u]
     return (jnp.where(has, u, -1), jnp.where(has, v, -1),
             jnp.where(has, jnp.sqrt(pt_w[u]), jnp.inf))
+
+
+@partial(jax.jit, static_argnames=("k", "qchunk", "nchunk"))
+def _core_scan_block(pts, qs, *, k: int, qchunk: int, nchunk: int):
+    """k-th-NN distance of the ``qs`` block against all of ``pts`` —
+    one bounded launch (see ``_core_scan``)."""
+    n, dim = pts.shape
+    wdt = pts.dtype
+    NQ = -(-qs.shape[0] // qchunk)
+    NN = -(-n // nchunk)
+
+    def padto(x, m, fill):
+        return jnp.pad(x, ((0, m - x.shape[0]),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill) if m != x.shape[0] else x
+
+    pts_q = padto(qs, NQ * qchunk, 0.0).reshape(NQ, qchunk, dim)
+    pts_n = padto(pts, NN * nchunk, 0.0).reshape(NN, nchunk, dim)
+    col = jnp.arange(nchunk, dtype=jnp.int32)
+    bases = jnp.arange(NN, dtype=jnp.int32) * nchunk
+
+    def merge_vals(rd, best):
+        d = jnp.concatenate([rd, best], axis=-1)
+        cix = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+        outs = []
+        for _ in range(k):
+            m = jnp.min(d, axis=-1)
+            am = jnp.argmin(d, axis=-1).astype(jnp.int32)
+            outs.append(m)
+            d = jnp.where(cix == am[..., None], jnp.inf, d)
+        return jnp.stack(outs, axis=-1)
+
+    def qbody(_, q):
+        def nbody(best, nin):
+            p, base = nin
+            rd = _rd_unrolled(q, p)
+            rd = jnp.where((base + col)[None, :] < n, rd, jnp.inf)
+            return merge_vals(rd, best), None
+
+        init = jnp.full((qchunk, k), jnp.inf, wdt)
+        best, _ = jax.lax.scan(nbody, init, (pts_n, bases))
+        return None, best[:, -1]
+
+    _, kth = jax.lax.scan(qbody, None, pts_q)
+    return jnp.sqrt(kth.reshape(-1))
+
+
+def _core_scan(pts, *, k: int, qchunk: int = 4096, nchunk: int = 16384,
+               qblock: int = 131072):
+    """(n,) k-th-nearest-neighbor distance (self included, the HDBSCAN
+    core-distance convention), exact, dense streaming scan — the same
+    tile walk as ``_scan_round`` with a running k-smallest working set
+    (k-pass min-extraction, values only).  With the scan round scheme
+    this removes the only reason to build a tree at all for
+    ``mutual_reachability_mst``.
+
+    Host-driven query blocks: ONE launch over all n x n pairs ran long
+    enough to hit the TPU worker execution limit at 1M (the same
+    failure mode the dual-join block launches fixed) — each ``qblock``
+    launch is bounded at ~qblock/n of the total."""
+    n = pts.shape[0]
+    out = []
+    for s in range(0, n, qblock):
+        out.append(_core_scan_block(pts, jax.lax.slice_in_dim(
+            pts, s, min(s + qblock, n)), k=k, qchunk=qchunk,
+            nchunk=nchunk)[: min(qblock, n - s)])
+    return jnp.concatenate(out) if len(out) > 1 else out[0]
 
 
 class _DSU:
@@ -411,18 +490,27 @@ def boruvka_mst(tree, core, *, knn_width: int = 8, scheme: str = "auto"):
             * (d_cc + lr[:, None] + lr[None, :]), 0.0)
         lb_eu = jnp.where(jnp.isnan(lb), 0.0, lb)
 
+    if scheme == "scan":
+        round_fn = lambda comp: _scan_round(                  # noqa: E731
+            tree._points_perm, core_perm, comp)
+    else:
+        round_fn = lambda comp: _boruvka_round(               # noqa: E731
+            tree._points_perm, core_perm, comp,
+            knn_pos, knn_d, lb_eu, shape=shape)
+    return _run_rounds(n, round_fn, np.asarray(tree._orig_ids))
+
+
+def _run_rounds(n: int, round_fn, orig):
+    """Borůvka driver: device rounds + host union-find, until spanning.
+
+    ``round_fn(comp)`` -> per-component candidate minimum outgoing edges
+    (eu, ev, ew) for the (n,) int32 component labels ``comp``; ``orig``
+    maps the round engine's point indexing to original point ids."""
     comp_np = np.arange(n, dtype=np.int32)
     dsu = _DSU()
     us, vs, ws = [], [], []
-    orig = np.asarray(tree._orig_ids)
     for _ in range(2 * int(np.ceil(np.log2(n))) + 2):
-        if scheme == "scan":
-            eu, ev, ew = _scan_round(
-                tree._points_perm, core_perm, jnp.asarray(comp_np))
-        else:
-            eu, ev, ew = _boruvka_round(
-                tree._points_perm, core_perm, jnp.asarray(comp_np),
-                knn_pos, knn_d, lb_eu, shape=shape)
+        eu, ev, ew = round_fn(jnp.asarray(comp_np))
         eu, ev, ew = np.asarray(eu), np.asarray(ev), np.asarray(ew)
         ok = np.flatnonzero(eu >= 0)
         # host union-find filters tie cycles (weight-neutral: any cycle
@@ -451,19 +539,39 @@ def boruvka_mst(tree, core, *, knn_width: int = 8, scheme: str = "auto"):
 
 def mutual_reachability_mst(points, k: int, *, leaf_size: int = 128,
                             knn_width: int = 8, scheme: str = "auto"):
-    """End-to-end HDBSCAN MST: tree build, core distances, Borůvka
-    rounds.  Returns (us, vs, ws) in original ids.
+    """End-to-end HDBSCAN MST.  Returns (us, vs, ws) in original ids.
 
-    Core distances ride the tile-shared batched self-query when it
-    applies (low dim, small k — measured far cheaper than the dual-tree
-    self-join at 300k+: the join is a leaf-PAIR machine, the tiled query
-    a leaf-stream machine); the dual join remains the general path."""
+    With the scan scheme (``auto`` at dim > 3) NO TREE IS BUILT: core
+    distances come from ``_core_scan`` (dense streaming k-th-NN) and the
+    rounds from ``_scan_round`` — at 1M x 8-d this removed an 87 s tree
+    build plus 216 s of tree core queries from the measured pipeline.
+    The dual scheme (low dim, where leaf bounds prune) builds the tree
+    and keeps the tile-shared self-query for core distances."""
+    from ..utils.validation import check_points
+
+    pts_dev = check_points(points)
+    n, dim = pts_dev.shape
+    kk = min(int(k), n)
+    if scheme == "auto":
+        # dual: low dim (leaf bounds prune) or large k (the core scan's
+        # k-pass min-extraction unrolls k passes per tile)
+        scheme = "dual" if (dim <= 3 or kk > 32) else "scan"
+    if scheme == "scan":
+        if bool(jnp.any(jnp.isnan(pts_dev))):
+            raise ValueError(
+                "mutual_reachability_mst requires finite points: a NaN "
+                "row has +inf mutual reachability to everything and the "
+                "MST is undefined")
+        core = _core_scan(pts_dev, k=kk)
+        round_fn = lambda comp: _scan_round(                  # noqa: E731
+            pts_dev, core, comp)
+        return _run_rounds(n, round_fn, np.arange(n, dtype=np.int64))
+
     from .ball import BallTree
 
     pts = np.asarray(points)
     tree = BallTree.euclidean(pts, leaf_size=leaf_size)
-    kk = min(int(k), tree.n)
-    if tree.dim <= 32 and kk <= 16:
+    if dim <= 32 and kk <= 16:
         chunks = []
         step = 65536
         for s in range(0, tree.n, step):

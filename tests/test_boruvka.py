@@ -68,6 +68,20 @@ class TestBoruvkaMST:
         np.testing.assert_allclose(np.sort(ws), want, rtol=1e-5,
                                    atol=1e-6)
 
+    def test_core_scan_matches_oracle(self, rng):
+        """Dense streaming k-th-NN distance (self included) vs numpy
+        sort, with partial tiles (n not divisible by chunk sizes)."""
+        import jax.numpy as jnp
+        from petal_neighbors_tpu.trees.boruvka import _core_scan
+        n = 333
+        pts = rng.standard_normal((n, 6)).astype(np.float32)
+        d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        for k in (1, 4, 7):
+            want = np.sort(d, axis=1)[:, k - 1]
+            got = np.asarray(_core_scan(jnp.asarray(pts), k=k,
+                                        qchunk=64, nchunk=128))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_scan_round_partial_chunks(self, rng):
         """n not divisible by the scan tile sizes: padded j rows carry
         +inf core and padded i rows are dropped."""
