@@ -16,9 +16,10 @@ device:
 
 The matrix stages are O(n^2) memory (<= ~30k points on one chip); the
 SCALABLE path (round 3) is ``mst_edges_scalable`` — device-side Borůvka
-rounds fed by the dual-tree join (``trees.boruvka``), no dense matrix,
-1M+ points — plus ``single_linkage`` turning the MST into the
-scipy-format dendrogram HDBSCAN condenses.
+rounds (``trees.boruvka``: dense masked-scan rounds from dim 4 up,
+dual-leaf-sweep rounds at low dim), no dense matrix, 1M+ points — plus
+``single_linkage`` turning the MST into the scipy-format dendrogram
+HDBSCAN condenses.
 
 Run:  python examples/hdbscan_core.py
 """
@@ -113,10 +114,11 @@ def mst_edges(points, k: int):
 
 
 def mst_edges_scalable(points, k: int, *, leaf_size: int = 128):
-    """Mutual-reachability MST without the dense matrix: core distances
-    via ONE dual-tree self-join, then ~log2(n) device-side Borůvka
-    rounds (trees.boruvka) — the 1M+-point HDBSCAN backbone.  Returns
-    (us, vs, ws) numpy arrays."""
+    """Mutual-reachability MST without the dense matrix: ~log2(n)
+    device-side Borůvka rounds (trees.boruvka) — the 1M+-point HDBSCAN
+    backbone (241 s at 1M x 8-d on one v5e: streaming core-distance
+    scan + dense masked-scan rounds; tree-sweep rounds at low dim).
+    Returns (us, vs, ws) numpy arrays."""
     from petal_neighbors_tpu import mutual_reachability_mst
 
     return mutual_reachability_mst(np.asarray(points), k,
