@@ -126,33 +126,25 @@ def mst_edges_scalable(points, k: int, *, leaf_size: int = 128):
 
 
 def single_linkage(us, vs, ws, n: int) -> np.ndarray:
-    """Scipy-format linkage matrix (n-1, 4) from MST edges: the
-    single-linkage dendrogram over mutual reachability — the structure
-    HDBSCAN condenses into clusters.  Host union-find over the
-    weight-sorted edges (O(n α(n)); the heavy lifting — the MST itself —
-    stayed on device)."""
-    order = np.argsort(ws, kind="stable")
-    parent = np.arange(2 * n - 1)
-    size = np.concatenate([np.ones(n, np.int64),
-                           np.zeros(n - 1, np.int64)])
-    Z = np.zeros((n - 1, 4))
+    """Scipy-format linkage matrix from MST edges — now part of the
+    package (``petal_neighbors_tpu.cluster``); kept here as the
+    consumer-example entry point."""
+    from petal_neighbors_tpu.cluster import single_linkage as _sl
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+    return _sl(us, vs, ws, n)
 
-    nxt = n
-    for t, e in enumerate(order):
-        ra, rb = find(int(us[e])), find(int(vs[e]))
-        Z[t] = [min(ra, rb), max(ra, rb), ws[e], size[ra] + size[rb]]
-        parent[ra] = parent[rb] = nxt
-        size[nxt] = size[ra] + size[rb]
-        nxt += 1
-    return Z
+
+def hdbscan_labels(points, min_cluster_size: int = 5,
+                   min_samples: int | None = None):
+    """The consumer's actual product: HDBSCAN cluster labels (+ membership
+    probabilities) at any scale — device MST backbone (Borůvka rounds, no
+    dense matrix) + host condensed tree and excess-of-mass extraction
+    (``petal_neighbors_tpu.cluster``)."""
+    from petal_neighbors_tpu.cluster import hdbscan
+
+    res = hdbscan(np.asarray(points), min_cluster_size,
+                  min_samples=min_samples)
+    return res.labels, res.probabilities
 
 
 if __name__ == "__main__":
@@ -168,3 +160,8 @@ if __name__ == "__main__":
     w = np.array([e[2] for e in edges])
     print(f"MST: {len(edges)} edges, max weight {w.max():.4f} "
           f"(the cluster-separating edge)")
+    labels, probs = hdbscan_labels(pts, min_cluster_size=10)
+    uniq = [int(c) for c in np.unique(labels) if c >= 0]
+    print(f"HDBSCAN: {len(uniq)} clusters, "
+          f"{int((labels < 0).sum())} noise points, "
+          f"sizes {[int((labels == c).sum()) for c in uniq]}")

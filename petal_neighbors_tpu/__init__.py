@@ -15,7 +15,8 @@ plus TPU-native extensions: ``BruteForce``, batched queries, sharded
 multi-chip search (``petal_neighbors_tpu.parallel``).
 """
 
-from . import distance
+from . import cluster, distance
+from .cluster import hdbscan
 from .distance import (Chebyshev, Cosine, Euclidean, Haversine, Manhattan,
                        Metric, Minkowski, SqEuclidean, pairwise)
 from .errors import ArrayError, EmptyArrayError, NotContiguousError
@@ -32,6 +33,8 @@ __all__ = [
     "AsyncResult",
     "QueryStream",
     "boruvka_mst",
+    "cluster",
+    "hdbscan",
     "mutual_reachability_mst",
     "NearestNeighbors",
     "distance",
