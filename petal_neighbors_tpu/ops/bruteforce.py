@@ -448,10 +448,15 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
     Exact in every mode: candidates are re-scored with the direct form
     and re-ranked (the same accuracy scheme as the XLA path).
     """
-    from .pallas.knn_kernel import knn_pallas, prepare_split
+    from .pallas.knn_kernel import (knn_pallas, prepare_split,
+                                    _check_split_integrity)
 
     if precision is None:
         precision = "bf16" if fast else "high"
+    if precision == "high":
+        # eager entry point: run the once-per-process split integrity
+        # probe here (prepare_* may have been traced, where it defers)
+        _check_split_integrity()
     if precision == "high" and pts_split is None:
         pts_split = prepare_split(pts_padded)
     dim = pts_padded.shape[1]
