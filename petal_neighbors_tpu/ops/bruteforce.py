@@ -364,6 +364,49 @@ def _two_phase_small_k(pts_padded, xn_padded, queries_c,
     return best_rd, best_i, T
 
 
+def _bcap_rescore(pts_padded, xn_padded, queries, block_ids, k_eff: int,
+                  block: int):
+    """Exact direct-form rescore of the block-capped kernel's candidate
+    BLOCKS: each id maps to ``block`` CONTIGUOUS corpus rows, so the
+    gather moves (kb, block, d) slabs — large contiguous elements, not
+    the scattered single-row gather that walled the round-3 two-phase
+    path at 41k QPS-equivalent.  Streamed over query chunks to bound
+    the (qc, kb, block, d) transient.  Returns (rd, idx) ascending,
+    (Q, k_eff); padding/NaN corpus rows carry +inf norms and are
+    excluded; NaN queries yield (+inf, -1)."""
+    from .topk import smallest_k
+
+    q, kb = block_ids.shape
+    n_pad, dim = pts_padded.shape
+    pts3 = pts_padded.reshape(n_pad // block, block, dim)
+    xn3 = xn_padded.reshape(n_pad // block, block)
+    R = kb * block
+    qb = max(8, min(512, (192 << 20) // max(R * dim * 4, 1) // 8 * 8))
+    nbq = -(-q // qb)
+    qpad = nbq * qb - q
+    bi_b = jnp.pad(block_ids, ((0, qpad), (0, 0))).reshape(nbq, qb, kb)
+    qs_b = jnp.pad(queries, ((0, qpad), (0, 0))).reshape(nbq, qb, dim)
+    off = jnp.arange(block, dtype=jnp.int32)
+
+    def body(_, xs):
+        bic, qsc = xs
+        safe = jnp.where(bic >= 0, bic, 0)
+        cand = pts3[safe]                         # (qb, kb, block, d)
+        xnc = xn3[safe]                           # (qb, kb, block)
+        rd = jnp.sum((qsc[:, None, None, :] - cand) ** 2, axis=-1)
+        ok = jnp.isfinite(xnc) & (bic >= 0)[:, :, None]
+        rd = jnp.where(ok, nan_to_inf(rd), jnp.inf)
+        rows = safe[:, :, None] * block + off[None, None, :]
+        return None, smallest_k(rd.reshape(-1, R),
+                                rows.reshape(-1, R), k_eff)
+
+    _, (bd, bix) = jax.lax.scan(body, None, (bi_b, qs_b))
+    best_rd = bd.reshape(nbq * qb, k_eff)[:q]
+    best_i = bix.reshape(nbq * qb, k_eff)[:q]
+    best_i = jnp.where(jnp.isfinite(best_rd), best_i, -1)
+    return best_rd, best_i
+
+
 #: largest k the fused path serves: the merge-scheme kernel's working
 #: set is O(log k) passes per update, VMEM-bounded (~4096 at tq=64)
 PALLAS_K_MAX = 4096 - RESCORE_SLACK
@@ -422,7 +465,8 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          pts_split=None, interpret: bool = False,
                          normalize_q: bool = False, out_rdist: bool = False,
                          scheme: str | None = None,
-                         capped_passes: int | None = None):
+                         capped_passes: int | None = None,
+                         bcap_planes=None):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -475,7 +519,14 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # opt-in: correct and tested, but measured 21k vs fold's 56k at
         # the headline.
         ks = min(k_eff + RESCORE_SLACK, n_real)
-        if ks <= 128 and n_real >= 262144 and not fast:
+        if (ks <= 128 and n_real >= 262144 and not fast
+                and bcap_planes is not None):
+            # block-capped (round-4): capped extraction on the 32x
+            # smaller per-block-minima tile — needs the index-resident
+            # interleaved planes, so only plane-persisting callers route
+            # here
+            scheme = "bcap"
+        elif ks <= 128 and n_real >= 262144 and not fast:
             scheme = "capped"
         elif (ks <= min(1024, tn) or 3072 <= ks <= min(4088, tn)) \
                 and n_real >= 200 * ks and not fast:
@@ -527,7 +578,7 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # the kernel's k-pass extraction sort is pure waste (dominant at
         # large k); the proof threshold below uses the row MAX instead of
         # the last column
-        if scheme in ("two_phase", "capped"):
+        if scheme in ("two_phase", "capped", "bcap"):
             # fallback engine for the proof-gated schemes; fold's
             # working set caps at 1024, merge covers the rest
             run_scheme = "fold" if k_scan <= 1024 else "merge"
@@ -553,6 +604,102 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # rd is ascending; sqrt needs the ulp-inversion clamp, the raw
         # rdistance domain (cosine callers apply an exact /2) does not
         return rd if out_rdist else monotone_distances(jnp.sqrt(rd))
+
+    def prove_repair(covered, best_rd, best_i):
+        # COMPACTED repair (shared by the proof-gated capped/bcap
+        # schemes): a miss needs passes+1 members of a query's running
+        # top set inside one tile — measured 22 of 10240 queries at
+        # passes=2 on the 1M uniform headline — so a whole-batch
+        # fallback would trigger almost every batch while touching
+        # almost no queries, and a group-granular re-run still paid
+        # ~12% of a full fold pass because scattered misses hit many
+        # groups.  Instead: gather the uncovered queries into ONE dense
+        # mini-batch (cap rows), run one fold instance on it, and
+        # scatter the results back — repair cost is cap/q of a fold
+        # pass regardless of how the misses scatter.  > cap uncovered
+        # queries (adversarial data / tiny n) falls back to a full
+        # "highest" pass; both repairs are slack-protected like the
+        # precision="highest" serving path, so no proof is needed.
+        cap = min(256, qs.shape[0])   # qs rows are a multiple of 8
+        n_unc = jnp.sum(~covered)
+
+        def _fix(args):
+            brd, bi = args
+            # uncovered-first permutation; NaN/padded rows are covered
+            _, take = jax.lax.top_k((~covered).astype(jnp.float32), cap)
+            qg = qs[take]
+            rdg, idg = knn_pallas(
+                pts_padded, qg, xn_padded, k=k_scan, tq=cap, tn=tn,
+                precision="highest", sort_output=False,
+                scheme="fold" if k_scan <= 1024 else "merge",
+                interpret=interpret)
+            idg = jnp.where(idg < n_real, idg, -1)
+            fr, fi = rescore_exact(pts_padded, qg, idg, k_eff)
+            upd = (~covered)[take][:, None]
+            brd = brd.at[take].set(jnp.where(upd, fr, brd[take]))
+            bi = bi.at[take].set(jnp.where(upd, fi, bi[take]))
+            return brd[:q], bi[:q]
+
+        def _full(args):
+            _, brd, bi = run("highest")
+            return brd, bi
+
+        return jax.lax.cond(
+            n_unc == 0,
+            lambda args: (args[0][:q], args[1][:q]),
+            lambda args: jax.lax.cond(n_unc <= cap, _fix, _full, args),
+            (best_rd, best_i))
+
+    if scheme == "bcap":
+        # Block-capped kernel (round-4 headline engine): capped
+        # extraction on per-block minima — see _knn_kernel_bcap for the
+        # kernel-side story and soundness argument.  The working set
+        # holds kb BLOCK ids; each maps to `block` contiguous corpus
+        # rows, gathered as slabs and exactly re-scored; the same
+        # per-batch proof + compacted repair guard exactness.
+        if bcap_planes is None:
+            raise ValueError(
+                "scheme='bcap' needs the index-resident interleaved "
+                "planes (prepare_bcap_planes)")
+        from .pallas.knn_kernel import BCAP_LANES
+        p_perm, xn_perm = bcap_planes
+        block = tn // BCAP_LANES
+        kb = min(max(k_eff + RESCORE_SLACK, 12), BCAP_LANES)
+        lam = kb * tn / n_real
+        if capped_passes is not None:
+            passes = capped_passes
+        elif lam <= 0.5:
+            passes = 2
+        else:
+            passes = min(16, math.ceil(lam + 3.0 * math.sqrt(lam) + 2.0))
+        if precision == "high":
+            _, bix, thr = knn_pallas(
+                pts_padded, qs, xn_perm, k=kb, tq=tq, tn=tn,
+                precision="high", scheme="bcap", passes=passes,
+                points_split=p_perm, interpret=interpret)
+        else:
+            _, bix, thr = knn_pallas(
+                p_perm, qs, xn_perm, k=kb, tq=tq, tn=tn,
+                precision=precision, scheme="bcap", passes=passes,
+                interpret=interpret)
+        best_rd, best_i = _bcap_rescore(pts_padded, xn_padded, qs, bix,
+                                        k_eff, block)
+        qn = jnp.sum(qs * qs, axis=-1)
+        xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded,
+                                   0.0))
+        err = _proof_err(precision, dim, qn, xn_max)
+        covered = (kb * block >= n_real) | (best_rd[:, -1] <= thr - err)
+        # a non-finite k-th rescored value is covered ONLY when thr is
+        # also non-finite (NaN query, or nothing finite was skipped —
+        # miss_min/tau both +inf).  A finite thr with an inf k-th means
+        # finite block minima WERE skipped by pass exhaustion while the
+        # working set still held +inf seeds — must repair, not accept
+        # (reachable only with forced tiny-n/NaN-heavy inputs, but the
+        # old unconditional clause was a soundness hole there)
+        covered = covered | (~jnp.isfinite(best_rd[:, -1])
+                             & ~jnp.isfinite(thr))
+        best_rd, best_i = prove_repair(covered, best_rd, best_i)
+        return to_out(best_rd), best_i
 
     if scheme == "capped":
         # capped-pass kernel: no data-dependent control flow (pipelines
@@ -594,51 +741,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                                    0.0))
         err = _proof_err(precision, dim, qn, xn_max)
         covered = (k_scan >= n_real) | (best_rd[:, -1] <= thr - err)
-        covered = covered | ~jnp.isfinite(best_rd[:, -1])
-
-        # COMPACTED repair: a miss needs passes+1 members of a query's
-        # running top-k_scan inside one point tile — measured 22 of
-        # 10240 queries at passes=2 on the 1M uniform headline — so a
-        # whole-batch fallback would trigger almost every batch while
-        # touching almost no queries, and the previous group-granular
-        # scan (64-query groups, fold re-run per failing group) still
-        # paid ~12% of a full fold pass because 22 scattered queries hit
-        # ~20 groups.  Instead: gather the uncovered queries into ONE
-        # dense mini-batch (cap rows), run one fold instance on it, and
-        # scatter the results back — repair cost is cap/q of a fold pass
-        # regardless of how the misses scatter.  > cap uncovered queries
-        # (adversarial data / tiny n) falls back to a full "highest"
-        # fold pass; both repairs are slack-protected like the
-        # precision="highest" serving path, so no proof is needed.
-        cap = min(256, qs.shape[0])   # qs rows are a multiple of 8
-        n_unc = jnp.sum(~covered)
-
-        def _fix(args):
-            brd, bi = args
-            # uncovered-first permutation; NaN/padded rows are covered
-            _, take = jax.lax.top_k((~covered).astype(jnp.float32), cap)
-            qg = qs[take]
-            rdg, idg = knn_pallas(
-                pts_padded, qg, xn_padded, k=k_scan, tq=cap, tn=tn,
-                precision="highest", sort_output=False,
-                scheme="fold" if k_scan <= 1024 else "merge",
-                interpret=interpret)
-            idg = jnp.where(idg < n_real, idg, -1)
-            fr, fi = rescore_exact(pts_padded, qg, idg, k_eff)
-            upd = (~covered)[take][:, None]
-            brd = brd.at[take].set(jnp.where(upd, fr, brd[take]))
-            bi = bi.at[take].set(jnp.where(upd, fi, bi[take]))
-            return brd[:q], bi[:q]
-
-        def _full(args):
-            _, brd, bi = run("highest")
-            return brd, bi
-
-        best_rd, best_i = jax.lax.cond(
-            n_unc == 0,
-            lambda args: (args[0][:q], args[1][:q]),
-            lambda args: jax.lax.cond(n_unc <= cap, _fix, _full, args),
-            (best_rd, best_i))
+        # see the bcap branch: inf k-th is covered only with non-finite
+        # thr (NaN query / nothing skipped) — a finite thr means finite
+        # scores were pass-exhausted out of a working set holding +inf
+        covered = covered | (~jnp.isfinite(best_rd[:, -1])
+                             & ~jnp.isfinite(thr))
+        best_rd, best_i = prove_repair(covered, best_rd, best_i)
         return to_out(best_rd), best_i
 
     if scheme == "two_phase":
@@ -655,7 +763,10 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                                    0.0))
         err = _proof_err(precision, dim, qn, xn_max)
         covered = best_rd[:, -1] <= T + qn - err
-        covered = covered | ~jnp.isfinite(best_rd[:, -1])
+        # inf k-th covered only when the threshold itself is non-finite
+        # (NaN query); a finite threshold demands the precise fallback
+        covered = covered | (~jnp.isfinite(best_rd[:, -1])
+                             & ~jnp.isfinite(T + qn))
         ok = jnp.all(covered)
 
         def precise2(_):

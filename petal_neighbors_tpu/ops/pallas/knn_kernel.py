@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn_pallas", "pallas_available", "prepare_split", "PRECISIONS"]
+__all__ = ["knn_pallas", "pallas_available", "prepare_split",
+           "prepare_bcap_planes", "BCAP_LANES", "PRECISIONS"]
 
 # "highest": 6-pass f32-effective; "high": 3-pass bf16x3 at ~1.6x the
 # rate (hand-rolled — Mosaic rejects lax.Precision.HIGH — from bf16 hi/lo
@@ -525,6 +526,140 @@ def _knn_kernel_capped(xn_ref, q_ref, p_ref, qn_ref,
         out_t_ref[:] = (thr + qn_ref[:, 0])[:, None]
 
 
+#: lane blocks per chunk for the block-capped scheme: one block per
+#: vector lane, so the per-block reduction is a plain elementwise min
+#: across the tile's column slices (no cross-lane reduce at all)
+BCAP_LANES = 128
+
+
+def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
+                     out_d_ref, out_i_ref, out_t_ref,
+                     best_d, best_i, miss_min, *, kb: int, tn: int,
+                     n_chunks: int, precision: str, passes: int):
+    """Block-capped streaming top-k (round-4 headline kernel).
+
+    The capped kernel's cost is its extraction passes over the full
+    (tq, tn) tile: per-element-pass accounting puts it at ~2x the
+    control-flow-free floor probe, which matches the measured 73-80k
+    vs 145-148k QPS (BENCH_NOTES round 3/4).  This variant removes the
+    full-width extraction entirely:
+
+      1. the corpus is streamed in a BLOCK-INTERLEAVED permutation
+         (``prepare_bcap_planes``): lane ``l`` of column-slice ``t``
+         holds original row ``l*B + t`` of the chunk (B = tn / 128), so
+         the per-128-row-block minima are a plain ELEMENTWISE min of
+         the tile's 128-wide column slices — ~1 VPU pass, no cross-lane
+         reduces, no relayouts (the round-3 subchunk-minima kernel paid
+         128 lane-reduces + concatenate for the same reduction);
+      2. the capped extraction (``passes`` x argmin/mask/re-min +
+         working-set fold) runs on the REDUCED (tq, 128) tile — 1/32nd
+         of the capped kernel's per-pass cost — tracking BLOCK ids;
+      3. each block id maps back to B CONTIGUOUS original rows, so the
+         caller's exact rescore gathers (kb, B, d) slabs instead of
+         scattered single rows (the round-3 two-phase gather wall).
+
+    Planes are pre-scaled by -2 at build: ``u_t = xn_t + s_t`` fuses
+    the u-domain score into the min accumulation (one fewer pass; the
+    PROOF_EPS bound is unchanged — |q·2x| <= qn + xn by AM-GM, the same
+    term the 4x margin already covers).
+
+    Soundness mirrors the capped kernel at block granularity: a point
+    outside the returned blocks has u >= its block min, which was
+    either rejected against a working-set max that only shrinks or is
+    >= the post-pass tile minimum folded into ``miss_min``; the emitted
+    ``thr = min(max(working set), miss_min)`` therefore lower-bounds
+    every outside point and the caller's per-batch proof + compacted
+    repair guarantee exactness (knn_pallas_prepadded).
+    """
+    nj = pl.program_id(1)
+    tq = best_d.shape[0]
+    L = BCAP_LANES
+    nsl = tn // L
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, kb), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
+
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+
+    # lane-min accumulation: lm[:, l] = min over slices t of
+    # u[:, t*L + l] = xn_perm[t*L + l] + s[:, t*L + l]; with the build
+    # permutation, lane l == original rows [l*B, (l+1)*B) of the chunk
+    lm = xn_ref[:, :L] + s[:, :L]
+    for t in range(1, nsl):
+        lm = jnp.minimum(lm, xn_ref[:, t * L:(t + 1) * L]
+                         + s[:, t * L:(t + 1) * L])
+
+    @pl.when(nj == 0)
+    def _():
+        seed = lm[:, :kb]
+        # NaN-query rows init to (+inf, -1) — the never-folded state
+        nanq = jnp.isnan(seed)
+        best_d[:] = jnp.where(nanq, jnp.inf, seed)
+        best_i[:] = jnp.where(nanq, -1, kcol)
+        miss_min[:] = jnp.full((tq, 1), jnp.inf, dtype=jnp.float32)
+
+    # tile-0 seed lanes are already in the working set: mask them from
+    # extraction (duplicate block ids would duplicate candidate rows)
+    r = jnp.where((nj == 0) & (col < kb), jnp.inf, lm)
+    m = jnp.min(r, axis=1)
+    bd = best_d[:]
+    bi = best_i[:]
+    base = nj * L
+    for _ in range(passes):
+        m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    best_d[:] = bd
+    best_i[:] = bi
+    miss_min[:] = jnp.minimum(miss_min[:], m[:, None])
+
+    @pl.when(nj == n_chunks - 1)
+    def _():
+        tau = jnp.max(bd, axis=1)
+        thr = jnp.minimum(tau, miss_min[:, 0])
+        out_d_ref[:] = jnp.maximum(bd + qn_ref[:], 0.0)
+        out_i_ref[:] = bi
+        out_t_ref[:] = (thr + qn_ref[:, 0])[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "precision"))
+def prepare_bcap_planes(pts_padded, xn_padded, tn: int = 4096,
+                        precision: str = "high"):
+    """Index-resident planes for the block-capped kernel: the corpus in
+    BLOCK-INTERLEAVED order, pre-scaled by -2, as bf16 hi/lo splits
+    ("high") or f32 otherwise, plus the matching permuted norms.
+
+    Permutation (per tn-row chunk, B = tn / 128 rows per block):
+    permuted position ``t*128 + l`` holds original row ``l*B + t`` — so
+    the kernel's elementwise min over column slices reduces exactly the
+    CONTIGUOUS original rows [l*B, (l+1)*B), which the rescore gathers
+    as one slab.  Inputs must be ``pad_for_pallas`` outputs (NaN rows
+    zeroed, +inf norms, n_pad % tn == 0)."""
+    n_pad, d = pts_padded.shape
+    assert n_pad % tn == 0, (n_pad, tn)
+    L = BCAP_LANES
+    B = tn // L
+    nc = n_pad // tn
+    v = (pts_padded.reshape(nc, L, B, d).transpose(0, 2, 1, 3)
+         .reshape(n_pad, d))
+    xn_perm = (xn_padded.reshape(nc, L, B).transpose(0, 2, 1)
+               .reshape(n_pad))
+    v = -2.0 * v
+    if precision == "high":
+        hi, lo = split_bf16(v)
+        return jnp.concatenate([hi, lo], axis=1), xn_perm
+    return v, xn_perm
+
+
 SUBCHUNK = 128
 
 
@@ -725,7 +860,8 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     n, d = points.shape
     q = queries.shape[0]
     assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
-    assert scheme in ("fold", "fold_lazy", "merge", "capped"), scheme
+    assert scheme in ("fold", "fold_lazy", "merge", "capped",
+                      "bcap"), scheme
     # merge scheme: O(log k) passes/merge, so the working set can grow
     # past the fold scheme's practical k ceiling (VMEM is the only limit).
     # capped extends too: its per-pass working-set fold is O(1) passes
@@ -733,6 +869,12 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     assert 1 <= k <= (4096 if scheme in ("merge", "capped") else 1024), k
     if scheme == "capped":
         assert k <= tn, (k, tn)  # tile-0 seed needs k columns
+    if scheme == "bcap":
+        # k here is the BLOCK working-set width kb; seeds need kb lanes,
+        # and inputs must be prepare_bcap_planes outputs (permuted,
+        # -2-prescaled; point_norms likewise permuted)
+        assert k <= BCAP_LANES, k
+        assert tn % BCAP_LANES == 0, tn
     assert precision in PRECISIONS, precision
     n_chunks = n // tn
     if subtile is None:
@@ -756,6 +898,10 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         kernel = functools.partial(_knn_kernel_merge, k=k, tn=tn,
                                    n_chunks=n_chunks, subtile=subtile,
                                    precision=precision, buf_w=buf_w)
+    elif scheme == "bcap":
+        kernel = functools.partial(_knn_kernel_bcap, kb=k, tn=tn,
+                                   n_chunks=n_chunks, precision=precision,
+                                   passes=passes)
     elif scheme == "capped":
         kernel = functools.partial(_knn_kernel_capped, k=k, tn=tn,
                                    n_chunks=n_chunks, precision=precision,
@@ -781,7 +927,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         pltpu.VMEM((tq, k), jnp.float32),
         pltpu.VMEM((tq, k), jnp.int32),
     ]
-    if scheme == "capped":
+    if scheme in ("capped", "bcap"):
         out_specs.append(pl.BlockSpec((tq, 1), lambda qi, nj: (qi, 0),
                                       memory_space=pltpu.VMEM))  # thr
         out_shape.append(jax.ShapeDtypeStruct((q, 1), jnp.float32))
@@ -816,7 +962,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
         ),
         interpret=interpret,
     )(xn, queries, p_in, qn)
-    if scheme == "capped":
+    if scheme in ("capped", "bcap"):
         return outs[0], outs[1], outs[2][:, 0]
     out_d, out_i = outs
     return out_d, out_i

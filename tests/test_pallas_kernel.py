@@ -425,6 +425,161 @@ class TestCappedLargeK:
         np.testing.assert_allclose(d_at_a, d_at_b, rtol=1e-6, atol=1e-6)
 
 
+class TestBcapScheme:
+    """Round-4 block-capped kernel: capped extraction on per-block
+    minima over the block-interleaved planes (prepare_bcap_planes); each
+    returned block id expands to ``tn/128`` contiguous corpus rows for
+    the slab rescore, and the same miss-threshold proof + compacted
+    repair guard exactness (knn_pallas_prepadded scheme='bcap')."""
+
+    def _planes(self, pp, pn, tn, precision):
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            prepare_bcap_planes)
+        return prepare_bcap_planes(pp, pn, tn=tn, precision=precision)
+
+    @pytest.mark.parametrize("precision", ["high", "highest"])
+    @pytest.mark.parametrize("passes", [1, 2, 4])
+    def test_end_to_end_exact(self, rng, precision, passes):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 8192, 32, 96, 10
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[7] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[3] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, precision)
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision=precision,
+            tn=512, interpret=True, scheme="bcap", bcap_planes=planes,
+            capped_passes=passes)
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        oi = np.argsort(d2, 1, kind="stable")[:, :k]
+        od = np.take_along_axis(d2, oi, 1)
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_block_threshold_is_sound(self, rng):
+        """Every corpus point in a block OUTSIDE the returned block set
+        must score >= thr: thr lower-bounds outside BLOCK minima, and a
+        block min lower-bounds every member."""
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import BCAP_LANES
+        n, d, q, kb = 4096, 16, 32, 16
+        tn = 512
+        block = tn // BCAP_LANES
+        pts = (rng.random((n, d)).astype(np.float32) - 0.5) * 10
+        qs = (rng.random((q, d)).astype(np.float32) - 0.5) * 10
+        pp, pn = pad_for_pallas(jnp.asarray(pts), tn=tn)
+        p_perm, xn_perm = self._planes(pp, pn, tn, "highest")
+        rd, bix, thr = knn_pallas(p_perm, jnp.asarray(qs), xn_perm, k=kb,
+                                  tq=32, tn=tn, interpret=True,
+                                  precision="highest", scheme="bcap",
+                                  passes=1)
+        bix, thr = np.asarray(bix), np.asarray(thr)
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        slack = 1e-3
+        for r in range(q):
+            inside = set()
+            for b in bix[r]:
+                if b >= 0:
+                    inside.update(range(int(b) * block,
+                                        int(b) * block + block))
+            outside = [j for j in range(n) if j not in inside]
+            assert d2[r][outside].min() >= thr[r] - slack, r
+
+    def test_adversarial_identical_points_repair(self, rng):
+        """All-equal corpus: every tile overflows the pass cap; the
+        proof cannot certify and the repair must deliver exactness."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 4096, 8, 16, 5
+        pts = np.ones((n, d), dtype=np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        planes = self._planes(pp, pn, 512, "high")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, precision="high", tn=512,
+            interpret=True, scheme="bcap", bcap_planes=planes)
+        want = np.sqrt(((qs - 1.0) ** 2).sum(-1))
+        np.testing.assert_allclose(np.asarray(dd),
+                                   np.repeat(want[:, None], k, 1),
+                                   rtol=1e-5, atol=1e-5)
+        assert (np.sort(np.asarray(ii), 1) >= 0).all()
+
+    def test_nan_heavy_corpus_with_pass_exhaustion(self, rng):
+        """The covered-condition fix: NaN rows fill the seed blocks with
+        +inf; with passes=1 finite block minima can be pass-exhausted
+        while the working set still holds +inf — such rows must repair,
+        not return inf (the old unconditional isfinite clause accepted
+        them)."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        # k=40 -> kb=48 working-set blocks; pts[:192] NaN makes ALL 48
+        # seed blocks +inf (tn=512, B=4), and passes=1 over 8 tiles
+        # extracts only 8 finite blocks = 32 rows < k -> inf k-th with a
+        # FINITE thr (plenty of finite minima remain unextracted)
+        n, d, q, k = 4096, 8, 16, 40
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[:192] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, "high")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision="high", tn=512,
+            interpret=True, scheme="bcap", bcap_planes=planes,
+            capped_passes=1)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        od = np.sort(d2, 1)[:, :k]
+        np.testing.assert_allclose(np.asarray(dd), od, rtol=1e-4,
+                                   atol=1e-4)
+        assert (np.asarray(ii) >= 0).all()
+
+    def test_k_greater_than_n_real(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q = 20, 8, 16
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        planes = self._planes(pp, pn, 512, "highest")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), 10, n, precision="highest", tn=512,
+            interpret=True, scheme="bcap", bcap_planes=planes)
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        oi = np.argsort(d2, 1, kind="stable")[:, :10]
+        assert (np.asarray(ii) == oi).all()
+
+    def test_planes_roundtrip_permutation(self, rng):
+        """prepare_bcap_planes must place original row l*B + t of each
+        chunk at permuted position t*128 + l, pre-scaled by -2."""
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            BCAP_LANES, prepare_bcap_planes)
+        tn, d = 512, 8
+        B = tn // BCAP_LANES
+        pts = rng.standard_normal((2 * tn, d)).astype(np.float32)
+        xn = (pts * pts).sum(-1)
+        v, xp = prepare_bcap_planes(jnp.asarray(pts), jnp.asarray(xn),
+                                    tn=tn, precision="highest")
+        v, xp = np.asarray(v), np.asarray(xp)
+        for c in range(2):
+            for t in range(B):
+                for l in (0, 1, 63, 127):
+                    src = c * tn + l * B + t
+                    dst = c * tn + t * BCAP_LANES + l
+                    np.testing.assert_array_equal(v[dst], -2.0 * pts[src])
+                    assert xp[dst] == xn[src]
+
+
 class TestSplitBf16Integrity:
     """The bf16 hi/lo split must retain ~16 mantissa bits UNDER JIT.
 
