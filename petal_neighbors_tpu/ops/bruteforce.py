@@ -64,8 +64,9 @@ RESCORE_SLACK = 8
 FORCE_INTERPRET = False
 
 
-@partial(jax.jit, static_argnames=("tn", "with_split"))
-def prepare_euclidean_index(points, tn: int, with_split: bool = True):
+@partial(jax.jit, static_argnames=("tn", "with_split", "with_bcap"))
+def prepare_euclidean_index(points, tn: int, with_split: bool = True,
+                            with_bcap: bool = False):
     """One jitted program computing every index-resident artifact for the
     high-dim Euclidean path: center, kernel-padded centered points +
     norms, the NaN-row mask, and (optionally) the bf16 hi/lo split
@@ -80,7 +81,7 @@ def prepare_euclidean_index(points, tn: int, with_split: bool = True):
     bf16 planes (another 1x f32 copy) — callers disable it when n*d
     exceeds a budget and query at "highest" precision instead.
     """
-    from .pallas.knn_kernel import prepare_split
+    from .pallas.knn_kernel import prepare_bcap_planes, prepare_split
 
     mu = center_of(points)
     qpts = points - mu
@@ -89,7 +90,14 @@ def prepare_euclidean_index(points, tn: int, with_split: bool = True):
     # (mu is finite), and the full-corpus isnan sweep is an HBM pass
     ppad, pnorm = pad_for_pallas(qpts, tn=tn, bad=bad)
     split = prepare_split(ppad) if with_split else None
-    return mu, ppad, pnorm, split, bad
+    # block-interleaved planes for the bcap serving scheme (round 4):
+    # one more index-resident corpus copy, gated by the same HBM budget
+    # logic as the split planes (callers set with_bcap)
+    planes = (prepare_bcap_planes(ppad, pnorm,
+                                  precision="high" if with_split
+                                  else "highest")
+              if with_bcap else None)
+    return mu, ppad, pnorm, split, bad, planes
 
 @partial(jax.jit, static_argnames=("tn", "with_split"))
 def prepare_cosine_index(points, tn: int, with_split: bool = True):
@@ -457,7 +465,8 @@ def _rescore_large(points, queries, idx, k: int, interpret: bool):
 
 @partial(jax.jit, static_argnames=("k_eff", "n_real", "fast", "precision",
                                    "tq", "tn", "interpret", "normalize_q",
-                                   "out_rdist", "scheme", "capped_passes"))
+                                   "out_rdist", "scheme", "capped_passes",
+                                   "bcap_tn"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          n_real: int, center=None, fast: bool = False,
                          precision: str | None = None,
@@ -466,7 +475,7 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          normalize_q: bool = False, out_rdist: bool = False,
                          scheme: str | None = None,
                          capped_passes: int | None = None,
-                         bcap_planes=None):
+                         bcap_planes=None, bcap_tn: int | None = None):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -663,9 +672,14 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                 "planes (prepare_bcap_planes)")
         from .pallas.knn_kernel import BCAP_LANES
         p_perm, xn_perm = bcap_planes
-        block = tn // BCAP_LANES
+        # the bcap point tile may differ from the generic tn (smaller
+        # tiles shrink the candidate blocks the rescore pays for); it
+        # MUST match the tn the planes were interleaved at
+        btn = tn if bcap_tn is None else bcap_tn
+        assert xn_perm.shape[0] % btn == 0, (xn_perm.shape, btn)
+        block = btn // BCAP_LANES
         kb = min(max(k_eff + RESCORE_SLACK, 12), BCAP_LANES)
-        lam = kb * tn / n_real
+        lam = kb * btn / n_real
         if capped_passes is not None:
             passes = capped_passes
         elif lam <= 0.5:
@@ -674,12 +688,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
             passes = min(16, math.ceil(lam + 3.0 * math.sqrt(lam) + 2.0))
         if precision == "high":
             _, bix, thr = knn_pallas(
-                pts_padded, qs, xn_perm, k=kb, tq=tq, tn=tn,
+                pts_padded, qs, xn_perm, k=kb, tq=tq, tn=btn,
                 precision="high", scheme="bcap", passes=passes,
                 points_split=p_perm, interpret=interpret)
         else:
             _, bix, thr = knn_pallas(
-                p_perm, qs, xn_perm, k=kb, tq=tq, tn=tn,
+                p_perm, qs, xn_perm, k=kb, tq=tq, tn=btn,
                 precision=precision, scheme="bcap", passes=passes,
                 interpret=interpret)
         best_rd, best_i = _bcap_rescore(pts_padded, xn_padded, qs, bix,

@@ -53,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["knn_pallas", "pallas_available", "prepare_split",
-           "prepare_bcap_planes", "BCAP_LANES", "PRECISIONS"]
+           "prepare_bcap_planes", "bcap_tile_n", "BCAP_LANES",
+           "PRECISIONS"]
 
 # "highest": 6-pass f32-effective; "high": 3-pass bf16x3 at ~1.6x the
 # rate (hand-rolled — Mosaic rejects lax.Precision.HIGH — from bf16 hi/lo
@@ -532,6 +533,16 @@ def _knn_kernel_capped(xn_ref, q_ref, p_ref, qn_ref,
 BCAP_LANES = 128
 
 
+def bcap_tile_n(dim: int) -> int:
+    """Point-chunk tile for the bcap scheme — SMALLER than the generic
+    ``pallas_tile_n`` because the candidate-block width (tn / 128 rows
+    per returned block id) scales the caller's slab-rescore cost while
+    the kernel's matmul cost is tn-invariant.  Measured at the 1M x 128
+    headline (e2e, recall 1.0): tn=2048 94.2k QPS vs 4096 at 92.1k vs
+    1024 at 84.2k (grid-step overhead wins below 2048)."""
+    return 2048
+
+
 def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
                      out_d_ref, out_i_ref, out_t_ref,
                      best_d, best_i, miss_min, *, kb: int, tn: int,
@@ -632,7 +643,7 @@ def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "precision"))
-def prepare_bcap_planes(pts_padded, xn_padded, tn: int = 4096,
+def prepare_bcap_planes(pts_padded, xn_padded, tn: int | None = None,
                         precision: str = "high"):
     """Index-resident planes for the block-capped kernel: the corpus in
     BLOCK-INTERLEAVED order, pre-scaled by -2, as bf16 hi/lo splits
@@ -645,6 +656,8 @@ def prepare_bcap_planes(pts_padded, xn_padded, tn: int = 4096,
     as one slab.  Inputs must be ``pad_for_pallas`` outputs (NaN rows
     zeroed, +inf norms, n_pad % tn == 0)."""
     n_pad, d = pts_padded.shape
+    if tn is None:
+        tn = bcap_tile_n(d)
     assert n_pad % tn == 0, (n_pad, tn)
     L = BCAP_LANES
     B = tn // L

@@ -271,7 +271,8 @@ class BallTree:
         d, i = self.query_batch(queries, 1)
         return i[:, 0], d[:, 0]
 
-    def query_radius_batch(self, queries, distance, *, cap: int | None = None):
+    def query_radius_batch(self, queries, distance, *, cap: int | None = None,
+                           scheme: str = "auto"):
         """Batched radius search. Returns a (Q, n) boolean mask (original
         id order), or ``(indices (Q, cap), counts)`` when ``cap`` is set —
         the masked-segment-output scheme for variable-length results.
@@ -280,12 +281,29 @@ class BallTree:
         query's traversal reaches (the DBSCAN regime), instead of the
         dense full-corpus sweep behind the mask form.  Index order within
         a row is unspecified (the reference returns traversal order too).
+
+        ``scheme`` (capped form only): "auto" picks the TILE-SHARED leaf
+        frontier (queries locality-sorted, each tile visiting the union
+        of its members' emitted leaves — the round-3 config1 trick ported
+        to radius) for low-dim large batches, else the per-query lockstep
+        scan; "per_query" / "tiled" force one.
         """
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         if cap is None:
             return self._radius_mask(qs, distance)
+        if scheme not in ("auto", "per_query", "tiled"):
+            raise ValueError(f"unknown scheme {scheme!r}")
         from ..ops.bruteforce import _pick_chunk
         chunk = _pick_chunk(self.n, qs.shape[0], self.dim, None, direct=True)
+        if scheme == "auto":
+            scheme = ("tiled" if (self.dim <= 32 and qs.shape[0] >= 512
+                                  and isinstance(self.metric, Euclidean))
+                      else "per_query")
+        if scheme == "tiled":
+            return ball_query.radius_query_capped_tiled(
+                self._points_perm, self._orig_ids, self._centroids,
+                self._radii, qs, distance, shape=self._shape,
+                metric=self.metric, cap=cap, point_chunk=chunk)
         return ball_query.radius_query_capped(
             self._points_perm, self._orig_ids, self._centroids, self._radii,
             qs, distance, shape=self._shape, metric=self.metric, cap=cap,

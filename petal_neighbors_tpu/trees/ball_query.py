@@ -34,7 +34,8 @@ from ..ops.topk import (merge_topk, monotone_distances, nan_to_inf,
                         rescore_exact)
 from ..utils.tree_math import TreeShape
 
-__all__ = ["knn_query", "radius_query_mask"]
+__all__ = ["knn_query", "radius_query_mask", "radius_query_capped",
+           "radius_query_capped_tiled"]
 
 
 def _bound_slack(dtype) -> float:
@@ -607,3 +608,127 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
             jnp.int32(0))
     out, cnt, _ = jax.lax.while_loop(cond, body, init)
     return out, cnt
+
+
+@partial(jax.jit, static_argnames=("shape", "metric", "cap", "chunk_leaves",
+                                   "tile_q", "point_chunk"))
+def radius_query_capped_tiled(points_perm, orig_ids, centroids, radii,
+                              queries, radius, *, shape: TreeShape,
+                              metric: Metric, cap: int,
+                              chunk_leaves: int = 4, tile_q: int = 128,
+                              point_chunk: int = 65536):
+    """``radius_query_capped`` with a TILE-SHARED leaf frontier (round-4
+    port of the config1 trick to the radius path, the DBSCAN driver).
+
+    The per-query scheme gathers each query's own emitted leaves: a
+    (Q, C, M, d) HBM gather per loop step, repeated for the lockstep
+    maximum of steps.  Here queries are SORTED BY LOCALITY (their first
+    emitted leaf id — leaf ids are spatial, the tree orders them), and
+    each tile of ``tile_q`` neighbors visits the UNION of its members'
+    emitted leaves in one shared order: the gather shrinks by the tile
+    factor and every slab is reused by all tile_q queries from VMEM.
+
+    Membership is EXACTLY the per-query scheme's: each member accepts a
+    point only when its OWN leaf flags say so (inclusive whole-subtree
+    take / strict ``d < r`` leaf scan, ball_tree.rs:271-277) — visiting
+    a leaf a member did not emit adds work, never results.  Counts stay
+    exact past ``cap``; within-row order is traversal order (unsorted,
+    like the reference).
+    """
+    n, dim = points_perm.shape
+    q = queries.shape[0]
+    r = jnp.asarray(radius, dtype=points_perm.dtype)
+    rr = metric.distance_to_rdistance(r)
+    L = shape.n_leaves
+    max_leaf = shape.max_leaf_points
+
+    take_leaf, scan_leaf = _radius_leaf_flags(
+        queries, centroids, radii, r, shape, metric, point_chunk)
+    emit = take_leaf | scan_leaf                          # (Q, L)
+
+    # --- locality sort + tiling ------------------------------------------
+    tq = max(1, min(tile_q, q))
+    T = -(-q // tq)
+    qpad = T * tq - q
+    first_leaf = jnp.argmax(emit, axis=1).astype(jnp.int32)
+    qorder = jnp.argsort(first_leaf, stable=True).astype(jnp.int32)
+    if qpad:
+        # pad with repeats of the last query: identical extra work whose
+        # results land on the same inv slot (harmless, see unpermute)
+        qorder = jnp.concatenate(
+            [qorder, jnp.broadcast_to(qorder[-1:], (qpad,))])
+    qs_t = queries[qorder].reshape(T, tq, dim)
+    # per-member flag tables in tile order, + sentinel leaf column L
+    take_s = jnp.pad(take_leaf, ((0, 0), (0, 1)))[qorder].reshape(
+        T, tq, L + 1)
+    scan_s = jnp.pad(scan_leaf, ((0, 0), (0, 1)))[qorder].reshape(
+        T, tq, L + 1)
+    emit_tile = jnp.any((take_s | scan_s)[:, :, :L], axis=1)  # (T, L)
+
+    order_t = jnp.argsort(~emit_tile, axis=1, stable=True).astype(jnp.int32)
+    emit_sorted = jnp.take_along_axis(emit_tile, order_t, axis=1)
+    C = max(1, min(chunk_leaves, L))
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    if pad:
+        order_t = jnp.pad(order_t, ((0, 0), (0, pad)), constant_values=L)
+        emit_sorted = jnp.pad(emit_sorted, ((0, 0), (0, pad)),
+                              constant_values=False)
+
+    starts_np, counts_np = _leaf_tables(shape)
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
+    m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
+    ti = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+    qi = jnp.arange(tq, dtype=jnp.int32)[None, :, None]
+
+    def cond(state):
+        _, _, ci = state
+        nxt = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci * C),
+                                    (T, 1))[:, 0]
+        return (ci < n_chunks) & jnp.any(nxt)
+
+    def body(state):
+        out, cnt, ci = state
+        leaf_ids = jax.lax.dynamic_slice(order_t, (jnp.int32(0), ci * C),
+                                         (T, C))                  # (T, C)
+        s = leaf_start[leaf_ids]
+        lc = leaf_count[leaf_ids]
+        pos = s[..., None] + m_ar[None, None, :]                  # (T,C,M)
+        valid = m_ar[None, None, :] < lc[..., None]
+        pos = jnp.where(valid, pos, 0)
+        pts = points_perm[pos]                                    # (T,C,M,d)
+        if isinstance(metric, Euclidean):
+            diff = pts[:, None] - qs_t[:, :, None, None, :]  # (T,tq,C,M,d)
+            rd = jnp.sum(diff * diff, axis=-1)
+        else:
+            flat = pts.reshape(T, C * max_leaf, dim)
+            rd = jax.vmap(lambda qq, xx: metric.rdist(qq, xx))(
+                qs_t, flat).reshape(T, tq, C, max_leaf)
+        rd = nan_to_inf(rd)
+        lids = leaf_ids[:, None, :]                               # (T,1,C)
+        mtake = jnp.take_along_axis(take_s, lids, axis=2)         # (T,tq,C)
+        mscan = jnp.take_along_axis(scan_s, lids, axis=2)
+        accept = valid[:, None] & (mtake[..., None]
+                                   | (mscan[..., None] & (rd < rr)))
+        accept = accept.reshape(T, tq, C * max_leaf)
+        ids = jnp.broadcast_to(orig_ids[pos][:, None],
+                               (T, tq, C, max_leaf)
+                               ).reshape(T, tq, C * max_leaf)
+        cols = cnt[..., None] + jnp.cumsum(accept, axis=-1) - 1
+        cols = jnp.where(accept, cols, cap)      # out-of-range -> dropped
+        out = out.at[ti, qi, cols].set(ids, mode="drop")
+        cnt = cnt + jnp.sum(accept, axis=-1).astype(jnp.int32)
+        return out, cnt, ci + 1
+
+    init = (jnp.full((T, tq, cap), -1, dtype=jnp.int32),
+            jnp.zeros((T, tq), dtype=jnp.int32),
+            jnp.int32(0))
+    out, cnt, _ = jax.lax.while_loop(cond, body, init)
+
+    # un-permute to caller order (padded repeats collapse onto one slot)
+    out = out.reshape(T * tq, cap)
+    cnt = cnt.reshape(T * tq)
+    inv = jnp.zeros((q,), dtype=jnp.int32).at[qorder].set(
+        jnp.arange(T * tq, dtype=jnp.int32), mode="drop")
+    return out[inv], cnt[inv]

@@ -406,7 +406,7 @@ def _core_knn(pts, *, k: int, qblock: int = 131072):
     if dim < 128:
         pts = jnp.pad(pts, ((0, 0), (0, 128 - dim)))
     tn = bf.pad_granule(pts.shape[1])
-    mu, ppad, pnorm, split, _bad = bf.prepare_euclidean_index(
+    mu, ppad, pnorm, split, _bad, _planes = bf.prepare_euclidean_index(
         pts, tn, with_split=True)
     # equalize block sizes so every launch compiles ONCE (a ragged last
     # block costs a second ~40 s tunnel compile — measured larger than

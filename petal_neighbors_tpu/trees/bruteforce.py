@@ -46,6 +46,7 @@ class BruteForce:
         # Pre-padded copies for the fused Pallas kernel (padding a large
         # corpus per query call costs an extra full-index HBM copy)
         self._pallas_pts = self._pallas_norms = self._pallas_split = None
+        self._bcap_planes = None
         self._invalid = None
         #: cosine-through-the-Euclidean-kernel mode: the resident copy is
         #: L2-NORMALIZED (cosine distance = ‖q̂−x̂‖²/2 exactly), queries
@@ -96,9 +97,15 @@ class BruteForce:
             self.points = probe                    # public, original data
             n, d = probe.shape
             with_split = n * d <= self.SPLIT_BUDGET_ELEMS
+            # block-interleaved planes for the bcap serving scheme: only
+            # worth a resident copy at the scale where the scheme routes
+            # (n >= 262144, see knn_pallas_prepadded), same HBM budget
+            with_bcap = with_split and n >= 262144
             (self._center, self._pallas_pts, self._pallas_norms,
-             self._pallas_split, self._invalid) = bf.prepare_euclidean_index(
-                probe, bf.pad_granule(d), with_split=with_split)
+             self._pallas_split, self._invalid,
+             self._bcap_planes) = bf.prepare_euclidean_index(
+                probe, bf.pad_granule(d), with_split=with_split,
+                with_bcap=with_bcap)
             self._qpoints = None                   # lazy: _pallas_pts[:n]
         else:
             self.points = check_points(points)     # public, original data
@@ -198,12 +205,15 @@ class BruteForce:
                 # no split planes (over SPLIT_BUDGET_ELEMS): query at
                 # "highest" rather than re-deriving them per call
                 prec = "high" if self._pallas_split is not None else "highest"
+                from ..ops.pallas.knn_kernel import bcap_tile_n
                 d, i = bf.knn_pallas_prepadded(
                     self._pallas_pts, self._pallas_norms, qs,
                     k_eff, self.num_points, self._center,
                     precision=prec, pts_split=self._pallas_split,
                     normalize_q=self._cosine_kernel,
-                    out_rdist=self._cosine_kernel)
+                    out_rdist=self._cosine_kernel,
+                    bcap_planes=self._bcap_planes,
+                    bcap_tn=bcap_tile_n(self.dim))
                 if self._cosine_kernel:
                     # ‖q̂−x̂‖²/2 == 1 − q̂·x̂ (exact algebra; /2 is a
                     # monotone exact f32 op, ascending preserved)

@@ -385,6 +385,76 @@ class TestRadiusCounts:
         np.testing.assert_array_equal(counts, mask.sum(1))
 
 
+class TestTiledRadius:
+    """Round-4 tile-shared radius frontier (scheme='tiled'): must agree
+    with the dense mask path exactly — same membership semantics (the
+    tile visits the UNION of its members' emitted leaves, but each member
+    accepts only from its own flags)."""
+
+    @pytest.mark.parametrize("leaf_size", [4, 32])
+    def test_matches_mask(self, rng, leaf_size):
+        pts = rng.uniform(0, 1, (400, 2))
+        qs = rng.uniform(0, 1, (37, 2))     # non-multiple of tile_q
+        t = BallTree.euclidean(pts, leaf_size=leaf_size)
+        mask = np.asarray(t.query_radius_batch(qs, 0.25))
+        ids, cnt = t.query_radius_batch(qs, 0.25, cap=400, scheme="tiled")
+        ids, cnt = np.asarray(ids), np.asarray(cnt)
+        for r in range(len(qs)):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            assert set(ids[r][ids[r] >= 0].tolist()) == want, r
+            assert cnt[r] == len(want)
+
+    def test_boundary_semantics(self):
+        """Binary-exact boundary fixture through the tiled path."""
+        pts = np.array([[1.0], [1.5], [9.0]])
+        t = BallTree.euclidean(pts, leaf_size=None)
+        ids, cnt = t.query_radius_batch(np.array([[0.5]]), 1.0, cap=3,
+                                        scheme="tiled")
+        assert sorted(np.asarray(ids)[0][: int(cnt[0])].tolist()) == [0]
+        ids, cnt = t.query_radius_batch(np.array([[5.25]]), 3.75, cap=3,
+                                        scheme="tiled")
+        assert sorted(np.asarray(ids)[0][: int(cnt[0])].tolist()) == [1, 2]
+
+    def test_cap_overflow_counts_exact(self, rng):
+        pts = rng.uniform(0, 1, (100, 2))
+        t = BallTree.euclidean(pts, leaf_size=8)
+        ids, cnt = t.query_radius_batch(pts[:3], 2.0, cap=10,
+                                        scheme="tiled")
+        assert (np.asarray(cnt) == 100).all()
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and ids.shape == (3, 10)
+
+    def test_auto_routes_tiled_at_batch(self, rng):
+        """auto == tiled at dim<=32, q>=512: results must match the
+        per-query scheme on the same inputs."""
+        pts = rng.uniform(0, 1, (600, 2)).astype(np.float32)
+        qs = np.ascontiguousarray(pts[:512])
+        t = BallTree.euclidean(pts, leaf_size=16)
+        ia, ca = t.query_radius_batch(qs, 0.1, cap=64)             # auto
+        ip, cp = t.query_radius_batch(qs, 0.1, cap=64,
+                                      scheme="per_query")
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
+        for r in range(512):
+            a = set(np.asarray(ia[r])[np.asarray(ia[r]) >= 0].tolist())
+            b = set(np.asarray(ip[r])[np.asarray(ip[r]) >= 0].tolist())
+            assert a == b, r
+
+    def test_nan_query_and_nan_member(self, rng):
+        """NaN query rows emit nothing (bounds descend but the strict
+        scan rejects NaN distances); NaN members inside a wholly-taken
+        node are included."""
+        pts = np.array([[1.0, 1.0], [1.0, 1.0], [np.nan, 1.0],
+                        [1.0, 1.0]])
+        t = BallTree.euclidean(pts, leaf_size=None)
+        qs = np.array([[1.0, 1.0], [np.nan, 1.0]])
+        mask = np.asarray(t.query_radius_batch(qs, 100.0))
+        ids, cnt = t.query_radius_batch(qs, 100.0, cap=4, scheme="tiled")
+        for r in range(2):
+            want = set(np.flatnonzero(mask[r]).tolist())
+            got = set(np.asarray(ids)[r][: int(cnt[r])].tolist())
+            assert got == want, r
+
+
 class TestCappedRadius:
     """The tree-pruned capped radius path must agree with the dense mask
     path exactly (same membership semantics incl. boundary rules)."""

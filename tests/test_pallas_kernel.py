@@ -580,6 +580,38 @@ class TestBcapScheme:
                     assert xp[dst] == xn[src]
 
 
+class TestBcapIndexWiring:
+    """prepare_euclidean_index(with_bcap=True) must emit planes matching
+    prepare_bcap_planes at the bcap tile (the serving index's resident
+    copy), and BruteForce must hold them for the query path."""
+
+    def test_prepare_index_planes_match(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            bcap_tile_n, prepare_bcap_planes)
+        pts = rng.standard_normal((3000, 40)).astype(np.float32)
+        pts[17] = np.nan
+        tn = bf.pad_granule(40)
+        mu, ppad, pnorm, split, bad, planes = bf.prepare_euclidean_index(
+            jnp.asarray(pts), tn, with_split=True, with_bcap=True)
+        assert planes is not None
+        want = prepare_bcap_planes(ppad, pnorm, tn=bcap_tile_n(40),
+                                   precision="high")
+        np.testing.assert_array_equal(np.asarray(planes[0]),
+                                      np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(planes[1]),
+                                      np.asarray(want[1]))
+        # NaN row norms stay +inf through the permutation
+        assert np.isinf(np.asarray(planes[1])).sum() \
+            == np.isinf(np.asarray(pnorm)).sum()
+
+    def test_bruteforce_small_corpus_has_no_planes(self, rng):
+        from petal_neighbors_tpu import BruteForce
+        pts = rng.standard_normal((5000, 64)).astype(np.float32)
+        idx = BruteForce.euclidean(pts)
+        assert idx._bcap_planes is None   # below the 262144 route gate
+
+
 class TestSplitBf16Integrity:
     """The bf16 hi/lo split must retain ~16 mantissa bits UNDER JIT.
 
