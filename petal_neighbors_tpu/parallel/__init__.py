@@ -24,6 +24,7 @@ from .api import (
     knn_points_sharded,
     knn_query_sharded,
     knn_ring,
+    mutual_reachability_mst_sharded,
     radius_points_sharded,
     radius_query_sharded,
     tree_query_sharded,
@@ -39,4 +40,5 @@ __all__ = [
     "tree_query_sharded",
     "radius_query_sharded",
     "radius_points_sharded",
+    "mutual_reachability_mst_sharded",
 ]

@@ -21,7 +21,8 @@ from ..ops.topk import monotone_distances, smallest_k
 
 __all__ = ["default_mesh", "knn_query_sharded", "knn_points_sharded",
            "knn_feature_sharded", "knn_ring", "tree_query_sharded",
-           "radius_query_sharded", "radius_points_sharded"]
+           "radius_query_sharded", "radius_points_sharded",
+           "mutual_reachability_mst_sharded"]
 
 
 def init_distributed(**kwargs) -> None:
@@ -403,3 +404,90 @@ def knn_ring(points, queries, k: int, metric: Metric | None = None,
 
     d, i = run(ppad, qpad)
     return d[: queries.shape[0]], i[: queries.shape[0]]
+
+
+def mutual_reachability_mst_sharded(points, k: int, *, mesh: Mesh,
+                                    axis: str = "shards",
+                                    qchunk: int | None = None,
+                                    nchunk: int | None = None):
+    """Mesh-sharded HDBSCAN mutual-reachability MST (scan scheme).
+
+    The Borůvka scan path is query-row parallel end to end, so both of
+    its device stages shard the QUERY rows over ``axis`` with the corpus
+    replicated (the mirror of ``knn_query_sharded``):
+
+    * **core distances** — each device runs the streaming k-th-NN scan
+      (``_core_scan_block``) on its row shard: n/P of the n×n work per
+      chip, no collectives.
+    * **Borůvka rounds** — each device computes the minimum OUTGOING
+      mutual-reachability edge of its rows (``_scan_minout``); shard_map
+      reassembles the (n,) per-point minima and the per-component winner
+      combine (O(n) scatter-min, ``_combine_winners``) runs replicated.
+
+    The host union-find driver (``_run_rounds``) and the exactness
+    contract (weights equal the dense-matrix MST's to f32 rounding) are
+    shared with the single-device path — the dryrun cross-checks the
+    weight multiset against it on the virtual 8-device mesh.
+
+    Reference lineage: the accessors this consumer rides exist for
+    petal-clustering's HDBSCAN (/root/reference/src/ball_tree.rs:303-353);
+    the reference itself has no distribution story (SURVEY.md §2.7).
+
+    Returns (us, vs, ws): n-1 edges, original point ids, numpy arrays.
+    """
+    from ..trees.boruvka import (_combine_winners, _core_scan_block,
+                                 _run_rounds, _scan_minout)
+    from ..utils.validation import check_points
+
+    pts = check_points(points)
+    n, dim = pts.shape
+    if n < 2:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float64))
+    if bool(jnp.any(jnp.isnan(pts))):
+        raise ValueError(
+            "mutual_reachability_mst requires finite points: a NaN row "
+            "has +inf mutual reachability to everything and the MST is "
+            "undefined")
+    kk = min(int(k), n)
+    nd = mesh.shape[axis]
+    rows = -(-n // nd)
+    npad = rows * nd
+    # shrink the streaming tiles to the shard size (tiny meshes/tests
+    # would otherwise pad 64 rows up to the 4096-row serving tile)
+    qc = min(qchunk or 4096, max(rows, 8))
+    nc = min(nchunk or 16384, max(n, 8))
+
+    qpad = jnp.pad(pts, ((0, npad - n), (0, 0)))  # zero rows, sliced off
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(axis)), out_specs=P(axis))
+    def core_run(pts_rep, q_shard):
+        out = _core_scan_block(pts_rep, q_shard, k=kk, qchunk=qc, nchunk=nc)
+        return out[:rows]
+
+    core = core_run(pts, qpad)[:n]
+    core_rd = core * core
+    inf_pad = jnp.full((npad - n,), jnp.inf, core_rd.dtype)
+    cq_pad = jnp.concatenate([core_rd, inf_pad])  # padded q rows -> (inf,-1)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)))
+    def minout_run(pts_rep, crd_rep, comp_rep, q_s, cq_s, cmp_s):
+        return _scan_minout(pts_rep, crd_rep, comp_rep, q_s, cq_s, cmp_s,
+                            qchunk=qc, nchunk=nc)
+
+    combine = jax.jit(_combine_winners)
+
+    def round_fn(comp):
+        cmp_pad = jnp.concatenate(
+            [comp, jnp.full((npad - n,), -1, comp.dtype)])
+        bw, bj = minout_run(pts, core_rd, comp, qpad, cq_pad, cmp_pad)
+        return combine(bw[:n], bj[:n], comp)
+
+    return _run_rounds(n, round_fn, np.arange(n, dtype=np.int64))

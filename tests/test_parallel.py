@@ -186,3 +186,41 @@ class TestRadiusSharded:
         assert np.asarray(cnt_in)[0] >= 1    # self at distance 0
         assert np.asarray(cnt_st)[0] == 0    # strict d < 0 matches nothing
         assert np.asarray(cnt_in)[2] == 0
+
+
+class TestShardedMST:
+    def test_weights_match_single_device(self, rng, mesh1d):
+        from petal_neighbors_tpu.trees import mutual_reachability_mst
+
+        pts = rng.normal(size=(333, 8))  # not divisible by 8 on purpose
+        us, vs, ws = parallel.mutual_reachability_mst_sharded(
+            pts, 5, mesh=mesh1d)
+        assert len(ws) == len(pts) - 1
+        _, _, ws1 = mutual_reachability_mst(pts, 5, scheme="scan")
+        # identical weight multiset (the MST-uniqueness-up-to-ties
+        # contract shared with the single-device tests)
+        np.testing.assert_allclose(np.sort(ws), np.sort(ws1), rtol=1e-12)
+
+    def test_spanning_and_finite(self, rng, mesh1d):
+        pts = rng.uniform(0, 1, (64, 4))
+        us, vs, ws = parallel.mutual_reachability_mst_sharded(
+            pts, 3, mesh=mesh1d)
+        assert np.isfinite(ws).all()
+        # the edge set spans: union-find over the returned edges
+        parent = list(range(len(pts)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(us, vs):
+            parent[find(int(a))] = find(int(b))
+        assert len({find(i) for i in range(len(pts))}) == 1
+
+    def test_nan_rejected(self, rng, mesh1d):
+        pts = rng.normal(size=(32, 4))
+        pts[3, 1] = np.nan
+        with pytest.raises(ValueError, match="finite"):
+            parallel.mutual_reachability_mst_sharded(pts, 3, mesh=mesh1d)
