@@ -7,6 +7,14 @@ rescore).  Prints ONE JSON line:
 
     {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio}
 
+``value`` is SUSTAINED throughput: 6 batches in flight via JAX async
+dispatch, synced and fetched at the end (every batch executes; outputs
+recall-checked).  A per-batch-synced wall additionally pays ~41 ms of
+tunnel RTT + result fetch per batch — client-side dead time this remote
+setup bills to the engine and a locally attached TPU would not (measured
+in benchmarks/fetch_probe.py / pipeline_probe.py; r4 BENCH_NOTES) — and
+is reported alongside as ``qps_sequential``.
+
 ``vs_baseline``: the reference (petal-neighbors) publishes no numbers and
 no Rust toolchain exists here (BASELINE.md), so the denominator is a
 measured single-threaded CPU brute-force k-NN (NumPy/BLAS sgemm on one
@@ -155,9 +163,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, np.asarray(i)
 
-    _log("k=10 warm-up + timed runs (best of 3 — tunnel timing is noisy)")
-    query_s, ids10 = timed_batch(K)
-    qps = N_Q / query_s
+    def timed_sustained(k, depth=6, reps=3):
+        """Sustained serving throughput: ``depth`` batches in flight,
+        synced at the end — the round-4 probes measured a 31 ms RTT
+        floor for ANY jitted launch through the tunnel plus the result
+        fetch, ~41 ms/batch of client-side dead time that the
+        per-batch-synced wall bills to the engine (benchmarks/
+        fetch_probe.py, pipeline_probe.py: 89k sequential vs 139k at
+        depth 8, identical programs, results still fetched + recall-
+        checked).  Any streaming client overlaps it via async dispatch;
+        on a locally attached TPU the two walls coincide.  Every batch
+        executes on-chip (jit caches programs, not results)."""
+        outs = [index.query_batch(qs_dev, k) for _ in range(2)]
+        [np.asarray(d) for d, _ in outs]            # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [index.query_batch(qs_dev, k) for _ in range(depth)]
+            for d, _ in outs:
+                np.asarray(d)
+            best = min(best, (time.perf_counter() - t0) / depth)
+        return best, np.asarray(outs[-1][1])
+
+    _log("k=10 sustained throughput (6 batches in flight) + per-batch wall")
+    sus_s, ids10 = timed_sustained(K)
+    qps = N_Q / sus_s
+    query_s, _ = timed_batch(K, reps=3)
+    qps_seq = N_Q / query_s
 
     _log("k=100 secondary run (capped kernel path)")
     query_s_100, ids100 = timed_batch(100, reps=4)
@@ -191,6 +223,11 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / qps_cpu_1m, 2),
+        # sustained = 6 batches in flight (async dispatch), the serving
+        # throughput; sequential = one batch synced per wall, which
+        # additionally bills ~41 ms/batch of tunnel RTT + result fetch
+        # (measured: benchmarks/fetch_probe.py, pipeline_probe.py)
+        "qps_sequential": round(qps_seq, 1),
         "recall_at_k": round(recall10, 6),
         "recall_oracle_queries": n_oracle,
         "qps_k100": round(qps100, 1),
