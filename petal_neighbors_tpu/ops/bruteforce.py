@@ -429,11 +429,21 @@ def _rescore_large(points, queries, idx, k: int, interpret: bool):
     multi-GB HBM blob and a TopK custom call over thousands of lanes
     (TopK was the round-1 serving bottleneck).  Here the gather +
     direct-form rescore stream over query chunks (lax.map keeps the
-    transient <= ~64 MB) and the re-rank rides the Pallas bitonic row
-    sort (``ops.pallas.sort_kernel``).  Same contract as
-    ``rescore_exact``: (rdist, idx) ascending, (Q, k); NaN distances ->
-    +inf (NaN-is-farthest); ids < 0 or >= n treated as missing.
+    transient <= ~64 MB) and the re-rank rides a Pallas row sort.  Same
+    contract as ``rescore_exact``: (rdist, idx) ascending, (Q, k); NaN
+    distances -> +inf (NaN-is-farthest); ids < 0 or >= n treated as
+    missing.
+
+    Re-rank engine by candidate width: past 2048 the counting-rank
+    kernel (``ops.pallas.rank_sort_kernel``) replaces the bitonic
+    network — counting rank is permute-free elementwise VPU work and
+    pads to the 128-lane granule instead of a power of two, and wins
+    exactly where the bitonic's pow2 pad doubles (measured same-window
+    on 2048 rows, benchmarks/sort_probe.py: width 2056 rank 706 ms vs
+    bitonic 1232 ms; 4096: 1686 vs 3088; bitonic keeps <= 2048, e.g.
+    1032: 536 vs 626).
     """
+    from .pallas.rank_sort_kernel import rank_sort_pairs
     from .pallas.sort_kernel import bitonic_sort_pairs
 
     q, dim = queries.shape
@@ -458,8 +468,8 @@ def _rescore_large(points, queries, idx, k: int, interpret: bool):
                             sf.reshape(-1, chunk, k_in),
                             okp.reshape(-1, chunk, k_in)))
     rd = rd.reshape(-1, k_in)[:q]
-    sd, si = bitonic_sort_pairs(rd, jnp.where(ok, idx, -1),
-                                interpret=interpret)
+    row_sort = rank_sort_pairs if k_in > 2048 else bitonic_sort_pairs
+    sd, si = row_sort(rd, jnp.where(ok, idx, -1), interpret=interpret)
     return sd[:, :k], si[:, :k]
 
 
@@ -528,12 +538,19 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # opt-in: correct and tested, but measured 21k vs fold's 56k at
         # the headline.
         ks = min(k_eff + RESCORE_SLACK, n_real)
-        if (ks <= 128 and n_real >= 262144 and not fast
+        if (ks <= 32 and n_real >= 262144 and not fast
                 and bcap_planes is not None):
             # block-capped (round-4): capped extraction on the 32x
             # smaller per-block-minima tile — needs the index-resident
             # interleaved planes, so only plane-persisting callers route
-            # here
+            # here.  Cutover measured on the 1M x 128 corpus
+            # (benchmarks/bcap_cutover_probe.py): bcap wins k=10 (92.3k
+            # vs 75.9k) and k=24 (58.1k vs 25.1k); capped wins from
+            # k=48 (33.7k vs 22.9k) — the slab rescore grows k-linearly
+            # at 16 rows per block id while capped extraction cost is
+            # pass-bounded.  ks <= 32 keeps bcap in its winning band
+            # (the r4 bench k=100 regression 34.9k -> 16.4k was this
+            # routing at ks=108).
             scheme = "bcap"
         elif ks <= 128 and n_real >= 262144 and not fast:
             scheme = "capped"

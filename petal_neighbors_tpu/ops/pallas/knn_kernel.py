@@ -754,6 +754,9 @@ def subchunk_minima(points, queries, point_norms, *, tq: int = 256,
         out_shape=jax.ShapeDtypeStruct((q, n_chunks * nc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
+            # q-tiles are independent (outputs indexed by qi only);
+            # declaring it lets Mosaic pipeline across the qi boundary
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,
@@ -967,6 +970,14 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             # tq=512/tn=2048 plus double-buffered inputs wants more
             # (v5e has far more VMEM)
             vmem_limit_bytes=96 * 1024 * 1024,
+            # the qi grid dimension is truly parallel: per-query scratch
+            # accumulators are re-seeded at nj == 0 for every qi and the
+            # outputs are indexed by qi alone, so no state crosses the
+            # qi boundary.  Declaring it frees Mosaic from serializing
+            # the scratch dependency across qi steps (the r3 negative-
+            # result note pinned the fold/capped gap to cross-tile
+            # scratch pipelining, not VPU pass volume)
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,

@@ -1,17 +1,30 @@
-"""Bitonic row-sort Pallas kernel tests (interpret mode on CPU).
+"""Row-sort Pallas kernel tests (interpret mode on CPU).
 
-The kernel backs the large-k collect path: sort the per-query candidate
-pool (key = rdist, payload = point id) without XLA's sort custom call.
-Contract under test: ascending keys, payload follows its key, +inf/-1
-padding stays at the tail, non-power-of-two widths and ragged query
-counts round-trip.
+Two implementations back the large-k collect path: the bitonic network
+(lane rolls) and the counting-rank kernel (broadcast compares, no
+permutes — the round-4 replacement for the bitonic's measured lane-
+permute wall).  Both sort the per-query candidate pool (key = rdist,
+payload = point id) without XLA's sort custom call and share one
+contract under test here: ascending keys, payload follows its key,
++inf/-1 padding stays at the tail, non-power-of-two widths and ragged
+query counts round-trip.
 """
+
+import functools
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from petal_neighbors_tpu.ops.pallas.sort_kernel import bitonic_sort_pairs
+from petal_neighbors_tpu.ops.pallas.sort_kernel import bitonic_sort_pairs as _bitonic
+from petal_neighbors_tpu.ops.pallas.rank_sort_kernel import rank_sort_pairs as _rank
+
+
+@pytest.fixture(params=["bitonic", "rank"])
+def bitonic_sort_pairs(request):
+    """Both row-sort kernels satisfy the same contract; every test in
+    this module runs against each."""
+    return _bitonic if request.param == "bitonic" else _rank
 
 
 def check_sorted_pairs(keys, vals, out_d, out_i):
@@ -26,7 +39,7 @@ def check_sorted_pairs(keys, vals, out_d, out_i):
 
 
 @pytest.mark.parametrize("n", [128, 130, 512, 1000, 2048])
-def test_sorts_random_rows(rng, n):
+def test_sorts_random_rows(bitonic_sort_pairs, rng, n):
     q = 16
     # unique keys per row so payload-tracking is well-defined
     keys = rng.permutation(np.arange(q * n, dtype=np.float32) * 0.5
@@ -37,7 +50,7 @@ def test_sorts_random_rows(rng, n):
     check_sorted_pairs(keys, vals, np.asarray(out_d), np.asarray(out_i))
 
 
-def test_inf_padding_stays_at_tail(rng):
+def test_inf_padding_stays_at_tail(bitonic_sort_pairs, rng):
     q, n = 8, 384
     keys = rng.standard_normal((q, n)).astype(np.float32)
     keys[:, 300:] = np.inf
@@ -51,7 +64,7 @@ def test_inf_padding_stays_at_tail(rng):
     assert np.isfinite(out_d[:, :300]).all()
 
 
-def test_ragged_query_count(rng):
+def test_ragged_query_count(bitonic_sort_pairs, rng):
     """q below (and not dividing) the row tile: padded rows must not leak."""
     q, n = 5, 256
     keys = rng.standard_normal((q, n)).astype(np.float32) * 10
@@ -64,7 +77,7 @@ def test_ragged_query_count(rng):
                                atol=0)
 
 
-def test_duplicate_keys_keep_valid_payloads(rng):
+def test_duplicate_keys_keep_valid_payloads(bitonic_sort_pairs, rng):
     """Ties: payload order is arbitrary but must be a permutation of the
     tied ids (no duplicate/lost payloads)."""
     q, n = 4, 512
