@@ -54,9 +54,9 @@ __all__ = ["boruvka_mst", "mutual_reachability_mst"]
 _BIG = np.int32(2 ** 31 - 1)
 
 
-@partial(jax.jit, static_argnames=("shape", "chunk", "ablock"))
+@partial(jax.jit, static_argnames=("shape", "chunk"))
 def _boruvka_prep(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
-                  lb_eu, *, shape, chunk: int, ablock: int):
+                  lb_eu, *, shape, chunk: int):
     """Round prep, one launch: tier-1 k-NN-graph candidates, component
     thresholds, leaf summaries, and the per-A-block sweep inputs."""
     n, dim = pts_perm.shape
@@ -107,34 +107,47 @@ def _boruvka_prep(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
     tau_leaf = jnp.max(jnp.where(a_valid, tau_w[comp[apos_s]], -jnp.inf),
                        axis=1)                                     # (LA,)
 
-    AB = max(1, min(ablock, LA))
-    nab = -(-LA // AB)
-    apad = nab * AB - LA
+    # exact per-leaf trip count: tau is FIXED for the whole round, so a
+    # leaf's best-first scan length is known up front — the driver sorts
+    # leaves by it and launches blocks of similar cost (near-zero
+    # straggler lockstep waste, round-4 scheduling fix).  The loop stops
+    # at the first chunk whose leading bound exceeds tau: with
+    # m = #columns <= tau and ascending lb_sorted, that is ceil(m / C).
+    m_le = jnp.sum(lb_sorted <= tau_leaf[:, None], axis=1)
+    trips = -(-m_le // C)
 
     def pad_a(x, fill):
-        return jnp.pad(x, ((0, apad),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill) if apad else x
+        return jnp.pad(x, ((0, 1),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
 
-    order_b = pad_a(order, LA).reshape(nab, AB, -1)
-    lbs_b = pad_a(lb_sorted, jnp.inf).reshape(nab, AB, -1)
-    tau_b = pad_a(tau_leaf, -jnp.inf).reshape(nab, AB)
-    avalid_b = pad_a(a_valid, False).reshape(nab, AB, MA)
-    apts_b = pad_a(pts_perm[apos_s], 0.0).reshape(nab, AB, MA, dim)
-    acore_b = pad_a(jnp.where(a_valid, core_perm[apos_s], jnp.inf),
-                    jnp.inf).reshape(nab, AB, MA)
-    acomp_b = pad_a(lcomp, -1).reshape(nab, AB, MA)
-    return (bp_w, bp_j, apos_s, a_valid,
-            order_b, lbs_b, tau_b, avalid_b, apts_b, acore_b, acomp_b)
+    # one sentinel leaf (index LA) pads ragged id blocks: tau -inf and
+    # no valid members, so its while_loop contributes nothing
+    order_p = pad_a(order, LA)
+    lbs_p = pad_a(lb_sorted, jnp.inf)
+    tau_p = pad_a(tau_leaf, -jnp.inf)
+    avalid_p = pad_a(a_valid, False)
+    apts_p = pad_a(pts_perm[apos_s], 0.0)
+    acore_p = pad_a(jnp.where(a_valid, core_perm[apos_s], jnp.inf),
+                    jnp.inf)
+    acomp_p = pad_a(lcomp, -1)
+    return (bp_w, bp_j, apos_s, a_valid, order_p, lbs_p, tau_p,
+            avalid_p, apts_p, acore_p, acomp_p, trips)
 
 
-@partial(jax.jit, static_argnames=("shape", "chunk"))
-def _boruvka_sweep_block(pts_perm, core_perm, comp_perm, ordx, lbx, taux,
-                         avx, aptsx, acorex, acompx, *, shape,
-                         chunk: int):
-    """Component-aware dual-leaf sweep for ONE block of A-leaves — one
+@partial(jax.jit, static_argnames=("shape", "chunk"),
+         donate_argnums=(10, 11))
+def _boruvka_sweep_block(pts_perm, core_perm, comp_perm, order_p, lbs_p,
+                         tau_p, avalid_p, apts_p, acore_p, acomp_p,
+                         sw_all, sj_all, ids, *, shape, chunk: int):
+    """Component-aware dual-leaf sweep for ONE block of A-leaf ids — one
     bounded launch per block (the whole-round scan-of-while_loops was a
     single launch whose runtime scaled with every straggler leaf, long
-    enough to hit worker execution limits at ~1M points)."""
+    enough to hit worker execution limits at ~1M points).  Blocks are
+    id-indexed (gathered here) so the driver can schedule leaves sorted
+    by their known trip count — every leaf in a block then runs ~the
+    same number of steps and the block's while_loop bills ~no idle
+    lockstep work (round 4; the old contiguous blocks ran every leaf for
+    their block straggler's trips)."""
     LA = shape.n_leaves
     MA = shape.max_leaf_points
     wdt = pts_perm.dtype
@@ -143,7 +156,14 @@ def _boruvka_sweep_block(pts_perm, core_perm, comp_perm, ordx, lbx, taux,
     leaf_start = jnp.asarray(starts_np)
     leaf_count = jnp.asarray(counts_np)
     m_ar = jnp.arange(MA, dtype=jnp.int32)
-    AB = ordx.shape[0]
+    ordx = order_p[ids]
+    lbx = lbs_p[ids]
+    taux = tau_p[ids]
+    avx = avalid_p[ids]
+    aptsx = apts_p[ids]
+    acorex = acore_p[ids]
+    acompx = acomp_p[ids]
+    AB = ids.shape[0]
     C = max(1, min(chunk, LA))
     n_chunks = -(-LA // C)
 
@@ -188,7 +208,9 @@ def _boruvka_sweep_block(pts_perm, core_perm, comp_perm, ordx, lbx, taux,
         return bw, bj, ci + 1
 
     bw, bj, _ = jax.lax.while_loop(cond, body, (bw0, bj0, jnp.int32(0)))
-    return bw, bj
+    # scatter into the round accumulators here (one launch per block —
+    # an eager .at[].set through the tunnel would cost an RTT per block)
+    return sw_all.at[ids].set(bw), sj_all.at[ids].set(bj)
 
 
 @jax.jit
@@ -226,27 +248,39 @@ def _boruvka_combine(sw, sj, apos_s, a_valid, bp_w, bp_j, comp):
 def _boruvka_round(pts_perm, core_perm, comp_perm, knn_pos, knn_d,
                    lb_eu, *, shape, chunk: int = 2, ablock: int = 256):
     """One Borůvka round, host-driven: a prep launch, one bounded sweep
-    launch per A-leaf block, a combine launch.  Returns (edge_u, edge_v,
-    edge_w): one candidate minimum outgoing edge per component label
-    (-1 ids / +inf weight for labels without a live component, or for
-    the single surviving component)."""
-    (bp_w, bp_j, apos_s, a_valid, order_b, lbs_b, tau_b, avalid_b,
-     apts_b, acore_b, acomp_b) = _boruvka_prep(
+    launch per A-leaf block, a combine launch.  The round's stop
+    threshold tau is fixed, so prep computes every leaf's exact
+    best-first trip count and the driver schedules blocks of
+    similar-trip leaves (descending sort) — each block's while_loop then
+    runs ~its own leaves' trips instead of a straggler's (the one fetch
+    of the (LA,) trip vector costs a tunnel RTT, noise against the
+    round's seconds-scale sweeps).  Returns (edge_u, edge_v, edge_w):
+    one candidate minimum outgoing edge per component label (-1 ids /
+    +inf weight for labels without a live component, or for the single
+    surviving component)."""
+    (bp_w, bp_j, apos_s, a_valid, order_p, lbs_p, tau_p, avalid_p,
+     apts_p, acore_p, acomp_p, trips) = _boruvka_prep(
         pts_perm, core_perm, comp_perm, knn_pos, knn_d, lb_eu,
-        shape=shape, chunk=chunk, ablock=ablock)
-    sws, sjs = [], []
-    for b in range(order_b.shape[0]):
-        bw, bj = _boruvka_sweep_block(
-            pts_perm, core_perm, comp_perm, order_b[b], lbs_b[b],
-            tau_b[b], avalid_b[b], apts_b[b], acore_b[b], acomp_b[b],
-            shape=shape, chunk=chunk)
-        sws.append(bw)
-        sjs.append(bj)
+        shape=shape, chunk=chunk)
     LA = shape.n_leaves
     MA = shape.max_leaf_points
-    sw = jnp.concatenate(sws, axis=0)[:LA]
-    sj = jnp.concatenate(sjs, axis=0)[:LA]
-    return _boruvka_combine(sw, sj, apos_s, a_valid, bp_w, bp_j,
+    trips_np = np.asarray(trips)
+    by_cost = np.argsort(-trips_np, kind="stable").astype(np.int32)
+    AB = max(1, min(ablock, LA))
+    nab = -(-LA // AB)
+    ids_pad = np.full(nab * AB, LA, dtype=np.int32)
+    ids_pad[:LA] = by_cost
+    sw = jnp.full((LA + 1, MA), jnp.inf, pts_perm.dtype)
+    sj = jnp.full((LA + 1, MA), -1, dtype=jnp.int32)
+    for b in range(nab):
+        ids_b = ids_pad[b * AB:(b + 1) * AB]
+        if trips_np[ids_b[0]] == 0:
+            break      # sorted: every remaining leaf scans zero chunks
+        sw, sj = _boruvka_sweep_block(
+            pts_perm, core_perm, comp_perm, order_p, lbs_p, tau_p,
+            avalid_p, apts_p, acore_p, acomp_p, sw, sj,
+            jnp.asarray(ids_b), shape=shape, chunk=chunk)
+    return _boruvka_combine(sw[:LA], sj[:LA], apos_s, a_valid, bp_w, bp_j,
                             comp_perm)
 
 
