@@ -53,26 +53,45 @@ def _leaf_row_of_pos(shape):
 
 
 @partial(jax.jit, static_argnames=("k", "MA", "MB", "C", "n_chunks",
-                                   "padB", "LB", "metric"))
-def _dual_knn_block(pts_a, pts_b, cb_c, rb, b_start, b_count, ca_blk,
-                    ra_blk, apos_blk, a_valid, *, k: int, MA: int, MB: int,
-                    C: int, n_chunks: int, padB: int, LB: int,
-                    metric: Metric):
-    """Best-first chunked B-leaf scan for ONE block of A-leaves.
+                                   "padB", "LB", "T0", "metric"),
+         donate_argnums=(10, 11))
+def _dual_knn_round(pts_a, pts_b, cb_c, rb, b_start, b_count, ca_s,
+                    ra_s, apos_s, a_valid_s, all_rd, all_pp, ids, start,
+                    *, k: int, MA: int, MB: int, C: int, n_chunks: int,
+                    padB: int, LB: int, T0: int, metric: Metric):
+    """Best-first chunked B-leaf scan: ONE bounded ROUND (at most ``T0``
+    chunk steps starting at chunk ``start``) for one block of A-leaf ids.
 
-    One jitted program per block (re-used across blocks — shapes are
-    identical), dispatched from the host loop in ``_dual_knn``: the
-    per-step difference tile is (LAc, MA, C, MB, d) f32, and a SINGLE
-    launch stays seconds-bounded even when a block's straggler leaf
-    scans far (one fused whole-join program scaled both with the total
-    leaf count — 63 GB transient at 1M x 8-d — and with the worst leaf's
-    trip count, long enough to hit launch execution limits: the TPU
-    worker crashed from ~300k points)."""
-    LAc = ca_blk.shape[0]
+    Round 4 rewrite of the single-shot block launch: the old block ran
+    its ``while_loop`` until EVERY leaf in the block finished, so each
+    (LAc, MA, C, MB, d) step re-billed leaves that were long done —
+    block cost was LAc x (slowest member's trips).  Now the host driver
+    (``_dual_knn``) launches fixed-T0 rounds and COMPACTS the surviving
+    leaf ids between rounds (finishing is monotone: pair bounds ascend
+    along the sorted frontier while the group tau only shrinks, so a
+    retired leaf can never need more chunks).  Total tile work becomes
+    ~sum over leaves of their OWN trip counts.  One compile per T0 value
+    (the driver doubles T0 geometrically), re-used across blocks/rounds;
+    per-leaf running state lives in the donated (LAs*MA, k) arrays,
+    gathered/scattered by leaf id here.
+
+    Each launch stays seconds-bounded for the same worker-execution-
+    limit reasons as before (one fused whole-join program crashed the
+    TPU worker from ~300k points)."""
+    LAc = ids.shape[0]
     dim = pts_a.shape[1]
     dtype = pts_a.dtype
     slack = _bound_slack(dtype)
     m_b = jnp.arange(MB, dtype=jnp.int32)
+
+    ca_blk = ca_s[ids]
+    ra_blk = ra_s[ids]
+    apos_blk = apos_s[ids]
+    a_valid = a_valid_s[ids]
+    rows = (ids[:, None] * MA
+            + jnp.arange(MA, dtype=jnp.int32)[None, :]).reshape(-1)
+    best_rd0 = all_rd[rows]
+    best_pp0 = all_pp[rows]
 
     # leaf-pair bounds for this block's node-pair frontier
     d_cc = _guarded_centroid_dist(ca_blk, cb_c, metric)      # (LAc, LB)
@@ -97,11 +116,15 @@ def _dual_knn_block(pts_a, pts_b, cb_c, rb, b_start, b_count, ca_blk,
             best_rd.reshape(LAc, MA, k)[..., -1])
         return jnp.max(jnp.where(a_valid, kth, -jnp.inf), axis=1)
 
+    def active_at(best_rd, ci):
+        ci_c = jnp.minimum(ci, jnp.int32(n_chunks - 1))
+        nxt = jax.lax.dynamic_slice(lb_sorted, (jnp.int32(0), ci_c * C),
+                                    (LAc, 1))[:, 0]
+        return (ci < n_chunks) & (nxt <= group_tau(best_rd))
+
     def cond(state):
         best_rd, _, ci = state
-        nxt = jax.lax.dynamic_slice(lb_sorted, (jnp.int32(0), ci * C),
-                                    (LAc, 1))[:, 0]
-        return (ci < n_chunks) & jnp.any(nxt <= group_tau(best_rd))
+        return (ci < start + T0) & jnp.any(active_at(best_rd, ci))
 
     def body(state):
         best_rd, best_pp, ci = state
@@ -131,11 +154,11 @@ def _dual_knn_block(pts_a, pts_b, cb_c, rb, b_start, b_count, ca_blk,
         best_rd, best_pp = merge_topk(rd, pids, best_rd, best_pp, k)
         return best_rd, best_pp, ci + 1
 
-    init = (jnp.full((LAc * MA, k), jnp.inf, dtype=dtype),
-            jnp.full((LAc * MA, k), -1, dtype=jnp.int32),
-            jnp.int32(0))
-    best_rd, best_pp, _ = jax.lax.while_loop(cond, body, init)
-    return best_rd, best_pp
+    best_rd, best_pp, ci = jax.lax.while_loop(
+        cond, body, (best_rd0, best_pp0, start))
+    all_rd = all_rd.at[rows].set(best_rd)
+    all_pp = all_pp.at[rows].set(best_pp)
+    return all_rd, all_pp, active_at(best_rd, ci)
 
 
 @partial(jax.jit, static_argnames=("metric",))
@@ -168,11 +191,15 @@ def _dual_knn(pts_a, pts_b, ca, ra, cb, rb, orig_b, row_of_pos_a,
     points; ``ca``/``ra``/``cb``/``rb`` the leaf ball geometry.
 
     Deliberately NOT one fused program (unlike the serving paths): the
-    join dispatches one bounded launch per A-leaf block plus a prep and
-    a finish program.  The extra dispatch round-trips are noise against
-    the join's seconds-scale runtime, and block-sized launches are what
-    keep the transient memory flat and each launch under the worker's
-    execution limits at 1M+ points."""
+    join dispatches bounded ROUNDS of at most T0 chunk steps (T0 doubles
+    geometrically), compacting the still-active A-leaf ids between
+    rounds (``_dual_knn_round``).  The per-round flag fetch costs a
+    tunnel round-trip, but the doubling schedule bounds the round count
+    at ~log2(worst trips), and compaction is what removes the straggler
+    lockstep waste: leaves that stop early retire instead of being
+    re-billed in every step of their block's while_loop.  Block-sized
+    launches also keep the transient memory flat and each launch under
+    the worker's execution limits at 1M+ points."""
     dim = pts_a.shape[1]
     LA, MA = shape_a.n_leaves, shape_a.max_leaf_points
     LB, MB = shape_b.n_leaves, shape_b.max_leaf_points
@@ -185,37 +212,91 @@ def _dual_knn(pts_a, pts_b, ca, ra, cb, rb, orig_b, row_of_pos_a,
     # near <= 256 MB f32
     per_leaf = MA * C * MB * dim * 4
     LAc = int(max(1, min(LA, (1 << 28) // max(per_leaf, 1))))
-    nblk = -(-LA // LAc)
-    padA = nblk * LAc - LA
 
-    # host-side leaf-grouped member tables (static geometry)
+    # one sentinel leaf (index LA): empty (a_valid all False, tau -inf),
+    # pads ragged id blocks; its state rows are dropped by _dual_finish
     a_start_np, a_count_np = _leaf_tables(shape_a)
     b_tabs = [jnp.asarray(x) for x in _leaf_tables(shape_b)]
     m_a = np.arange(MA, dtype=np.int32)
     apos_np = (a_start_np[:LA, None] + m_a[None, :]).astype(np.int32)
     a_valid_np = m_a[None, :] < a_count_np[:LA, None]
-    if padA:
-        apos_np = np.pad(apos_np, ((0, padA), (0, 0)))
-        a_valid_np = np.pad(a_valid_np, ((0, padA), (0, 0)))
+    apos_np = np.pad(apos_np, ((0, 1), (0, 0)))
+    a_valid_np = np.pad(a_valid_np, ((0, 1), (0, 0)))
     apos_d = jnp.asarray(apos_np)
     a_valid_d = jnp.asarray(a_valid_np)
 
-    ca_c, cb_c, ra_p = _dual_prep(ca, ra, cb, center, padA=padA)
+    ca_c, cb_c, ra_p = _dual_prep(ca, ra, cb, center, padA=1)
 
-    brs, bps = [], []
-    for b in range(nblk):
-        sl = slice(b * LAc, (b + 1) * LAc)
-        br, bp = _dual_knn_block(
-            pts_a, pts_b, cb_c, rb, b_tabs[0], b_tabs[1],
-            ca_c[sl], ra_p[sl], apos_d[sl], a_valid_d[sl],
-            k=k, MA=MA, MB=MB, C=C, n_chunks=n_chunks, padB=padB,
-            LB=LB, metric=metric)
-        brs.append(br)
-        bps.append(bp)
-    best_rd = jnp.concatenate(brs, axis=0)
-    best_pp = jnp.concatenate(bps, axis=0)
-    return _dual_finish(best_rd, best_pp, row_of_pos_a, pos_of_id_a,
-                        orig_b, metric=metric)
+    all_rd = jnp.full(((LA + 1) * MA, k), jnp.inf, dtype=pts_a.dtype)
+    all_pp = jnp.full(((LA + 1) * MA, k), -1, dtype=jnp.int32)
+
+    act = np.arange(LA, dtype=np.int32)
+    start, T0 = 0, 8
+    while act.size and start < n_chunks:
+        # pow2-bucket the block size so tail rounds reuse compiled
+        # programs (an exact-fit block would compile per distinct
+        # survivor count; sentinel padding is cheap)
+        LAc_r = min(LAc, max(8, 1 << (int(act.size) - 1).bit_length()))
+        nblk = -(-act.size // LAc_r)
+        ids_pad = np.full(nblk * LAc_r, LA, dtype=np.int32)
+        ids_pad[: act.size] = act
+        start_dev = jnp.int32(start)
+        flags = []
+        for b in range(nblk):
+            sl = slice(b * LAc_r, (b + 1) * LAc_r)
+            all_rd, all_pp, fl = _dual_knn_round(
+                pts_a, pts_b, cb_c, rb, b_tabs[0], b_tabs[1],
+                ca_c, ra_p, apos_d, a_valid_d, all_rd, all_pp,
+                jnp.asarray(ids_pad[sl]), start_dev,
+                k=k, MA=MA, MB=MB, C=C, n_chunks=n_chunks, padB=padB,
+                LB=LB, T0=T0, metric=metric)
+            flags.append(np.asarray(fl))
+        still = np.concatenate(flags)[: act.size]
+        act = act[still]
+        start += T0
+        T0 = min(2 * T0, 1024)
+
+    return _dual_finish(all_rd[: LA * MA], all_pp[: LA * MA],
+                        row_of_pos_a, pos_of_id_a, orig_b, metric=metric)
+
+
+def _join_via_kernel(queries, points, k: int, qblock: int = 131072):
+    """High-dim join engine: the fused Pallas serving kernel instead of
+    the leaf-pair sweep.  The builder's own measurements show the
+    two-ball bound prunes ~nothing from dim ~8 up (ROADMAP: the dual
+    sweep does ~71% of all-pairs work at tree-traversal efficiency), so
+    above the pruning regime the exact join is better served by the
+    MXU brute-force kernel — same result contract (exact k-NN of A's
+    points among B's, ascending, NaN points excluded-as-farthest), ~20x
+    the sweep's measured throughput at 1M x 8-d.  Low dims zero-pad to
+    the 128-lane granule (Euclidean distances unchanged); query blocks
+    bound each launch (same discipline as boruvka._core_knn)."""
+    from ..ops import bruteforce as bf
+
+    n = points.shape[0]
+    if points.shape[1] < 128:
+        points = jnp.pad(points, ((0, 0), (0, 128 - points.shape[1])))
+        queries = jnp.pad(queries, ((0, 0), (0, 128 - queries.shape[1])))
+    nq = queries.shape[0]
+    tn = bf.pad_granule(points.shape[1])
+    mu, ppad, pnorm, split, _bad, _planes = bf.prepare_euclidean_index(
+        points, tn, with_split=True)
+    nb = -(-nq // qblock)
+    qb = -(-(-(-nq // nb)) // 8) * 8
+    total = nb * qb
+    qs_all = jnp.pad(queries, ((0, total - nq), (0, 0)),
+                     constant_values=jnp.nan) if total > nq else queries
+    ds, is_ = [], []
+    for s in range(0, total, qb):
+        qs = jax.lax.slice_in_dim(qs_all, s, s + qb)
+        d, i = bf.knn_pallas_prepadded(ppad, pnorm, qs, k, n, center=mu,
+                                       precision="high", pts_split=split,
+                                       interpret=bf.FORCE_INTERPRET)
+        ds.append(d)
+        is_.append(i)
+    d = jnp.concatenate(ds) if len(ds) > 1 else ds[0]
+    i = jnp.concatenate(is_) if len(is_) > 1 else is_[0]
+    return d[:nq], i[:nq]
 
 
 def dual_tree_knn(tree_a, tree_b, k: int):
@@ -224,6 +305,14 @@ def dual_tree_knn(tree_a, tree_b, k: int):
     are built ``BallTree`` indexes over the SAME metric; a self-join
     (``tree_a is tree_b``) includes each point as its own 0-distance
     neighbor — HDBSCAN's core-distance convention.
+
+    Engine selection: the leaf-pair sweep runs where its two-ball bound
+    actually prunes (dim <= 3, generic metrics, small corpora); high-dim
+    f32 Euclidean joins at scale route through the fused serving kernel
+    (``_join_via_kernel``) — identical exactness contract, only the
+    traversal mechanism differs (the reference pins the RESULT, not the
+    recursion: ball_tree.rs:303-353 exposes accessors so consumers can
+    get exact joins).
 
     Returns ``(distances (nA, k_eff), ids (nA, k_eff))`` in ORIGINAL
     ``tree_a`` point order, ids indexing ``tree_b.points``;
@@ -240,6 +329,17 @@ def dual_tree_knn(tree_a, tree_b, k: int):
     if k_eff == 0:
         return (jnp.zeros((nA, 0), dtype=tree_a.points.dtype),
                 jnp.zeros((nA, 0), dtype=jnp.int32))
+    from ..ops.bruteforce import PALLAS_K_MAX, warn_pallas_fallback
+    from ..ops.pallas.knn_kernel import pallas_available
+    if (type(tree_a.metric) is Euclidean and tree_a.dim > 3
+            and tree_a.points.dtype == jnp.float32
+            and tree_b.points.dtype == jnp.float32
+            and tree_b.points.shape[0] >= 65536
+            and k_eff <= PALLAS_K_MAX and pallas_available()):
+        try:
+            return _join_via_kernel(tree_a.points, tree_b.points, k_eff)
+        except Exception as exc:          # pragma: no cover - TPU only
+            warn_pallas_fallback(exc)
     row_of_pos = jnp.asarray(_leaf_row_of_pos(tree_a._shape))
     # centering (translation-invariant exactness fix) only affects the
     # matmul-form centroid bounds; member distances use the direct form
