@@ -57,22 +57,31 @@ def make_data():
 
 def oracle_topk(points, queries, k, chunk=65536):
     """Exact float64 top-k ids, chunked over points (direct matmul form;
-    f64 cancellation at this scale is ~1e-9 of the distances)."""
-    q64 = queries.astype(np.float64)
-    qn = (q64 * q64).sum(1)[:, None]
-    best_d = np.full((len(queries), k), np.inf)
-    best_i = np.full((len(queries), k), -1, dtype=np.int64)
+    f64 cancellation at this scale is ~1e-9 of the distances).
+
+    torch f64 on this host runs the dgemm 2.6x numpy's OpenBLAS (one CPU
+    core only — r4: the numpy form took 333 s for the k=10 stage and
+    timed the whole bench out).  The per-row-constant |q|^2 term cannot
+    change a row's top-k, so d' = |p|^2 - 2 q.p; per-chunk top-k are
+    merged once at the end instead of concatenating (Q, k + chunk)
+    candidate blocks per chunk."""
+    import torch
+
+    q64 = torch.from_numpy(np.ascontiguousarray(queries)).double()
+    part_d, part_i = [], []
     for s in range(0, len(points), chunk):
-        p64 = points[s:s + chunk].astype(np.float64)
-        d = qn + (p64 * p64).sum(1)[None, :] - 2.0 * (q64 @ p64.T)
-        cand_d = np.concatenate([best_d, d], axis=1)
-        cand_i = np.concatenate(
-            [best_i, np.broadcast_to(np.arange(s, s + len(p64)),
-                                     (len(queries), len(p64)))], axis=1)
-        take = np.argpartition(cand_d, k - 1, axis=1)[:, :k]
-        best_d = np.take_along_axis(cand_d, take, axis=1)
-        best_i = np.take_along_axis(cand_i, take, axis=1)
-    return best_i
+        p64 = torch.from_numpy(np.ascontiguousarray(points[s:s + chunk])
+                               ).double()
+        d = (p64 * p64).sum(1)[None, :] - 2.0 * (q64 @ p64.T)
+        kk = min(k, d.shape[1])
+        dd, ii = torch.topk(d, kk, dim=1, largest=False)
+        part_d.append(dd)
+        part_i.append(ii + s)
+    cand_d = torch.cat(part_d, dim=1)
+    cand_i = torch.cat(part_i, dim=1)
+    kk = min(k, cand_d.shape[1])
+    _, take = torch.topk(cand_d, kk, dim=1, largest=False)
+    return torch.gather(cand_i, 1, take).numpy()
 
 
 def recall_against_oracle(ids, oracle_ids):

@@ -654,8 +654,12 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
             # uncovered-first permutation; NaN/padded rows are covered
             _, take = jax.lax.top_k((~covered).astype(jnp.float32), cap)
             qg = qs[take]
+            # tq follows the caller's large-k policy (not cap): at
+            # k_scan 4096 a tq=256 merge instance wants 96.5M of scoped
+            # VMEM and fails to compile (r4, /tmp/largek4.log) — the
+            # (tq, k) working buffers scale with tq*k
             rdg, idg = knn_pallas(
-                pts_padded, qg, xn_padded, k=k_scan, tq=cap, tn=tn,
+                pts_padded, qg, xn_padded, k=k_scan, tq=min(cap, tq), tn=tn,
                 precision="highest", sort_output=False,
                 scheme="fold" if k_scan <= 1024 else "merge",
                 interpret=interpret)

@@ -974,10 +974,15 @@ def knn_pallas(points, queries, point_norms, *, k: int,
             # accumulators are re-seeded at nj == 0 for every qi and the
             # outputs are indexed by qi alone, so no state crosses the
             # qi boundary.  Declaring it frees Mosaic from serializing
-            # the scratch dependency across qi steps (the r3 negative-
-            # result note pinned the fold/capped gap to cross-tile
-            # scratch pipelining, not VPU pass volume)
-            dimension_semantics=("parallel", "arbitrary"),
+            # the scratch dependency across qi steps (+1.8% kernel at
+            # the headline; the r3 negative-result note pinned the
+            # fold/capped gap to cross-tile scratch pipelining, not VPU
+            # pass volume).  Only in the small-k regime: at large k the
+            # extra cross-qi buffering it enables pushes the (tq, k)
+            # working set past the scoped-VMEM cap (k_scan=4096 measured
+            # 96.47M vs the 96M limit — a compile OOM r3 never had)
+            dimension_semantics=(("parallel", "arbitrary") if k <= 128
+                                 else ("arbitrary", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,
