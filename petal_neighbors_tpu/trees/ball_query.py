@@ -544,42 +544,51 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
         queries, centroids, radii, r, shape, metric, point_chunk)
     emit = take_leaf | scan_leaf                          # (Q, L)
 
-    # emitted leaves first, chunked lockstep
-    order = jnp.argsort(~emit, axis=1, stable=True).astype(jnp.int32)
-    emit_sorted = jnp.take_along_axis(emit, order, axis=1)
+    # emitted leaves first, at GROUP granularity: ordering individual
+    # leaves costs a (Q, L) row sort — measured ~110 us per 1k lanes per
+    # row, ~450 ms of the ~500 ms call at config4's L=1024 (the round-4
+    # radius_decomp_probe: the loop steps are ~5 ms each; the argsort was
+    # the wall).  Groups of C CONSECUTIVE leaves cut the sort width to
+    # L/C; tree leaf order is spatial, so a query's emitted leaves
+    # cluster into few groups and the extra non-emitted leaves a group
+    # drags in are masked per leaf below (never accepted — identical
+    # membership semantics).
     C = max(1, min(chunk_leaves, L))
-    n_chunks = -(-L // C)
-    pad = n_chunks * C - L
-    if pad:
-        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=L)
-        emit_sorted = jnp.pad(emit_sorted, ((0, 0), (0, pad)),
-                              constant_values=False)
+    G = -(-L // C)
+    padL = G * C - L
+    emit_g = jnp.pad(emit, ((0, 0), (0, padL))).reshape(q, G, C).any(-1)
+    order = jnp.argsort(~emit_g, axis=1, stable=True).astype(jnp.int32)
+    emit_sorted = jnp.take_along_axis(emit_g, order, axis=1)   # (Q, G)
 
     starts_np, counts_np = _leaf_tables(shape)
-    leaf_start = jnp.asarray(starts_np)
-    leaf_count = jnp.asarray(counts_np)
+    # sentinel leaf L: start 0, count 0 (clamp target for pad leaves)
+    leaf_start = jnp.asarray(np.append(starts_np, 0))
+    leaf_count = jnp.asarray(np.append(counts_np, 0))
     # pad the flag tables with the sentinel leaf column (never emitted)
     take_pad = jnp.pad(take_leaf, ((0, 0), (0, 1)))
+    scan_pad = jnp.pad(scan_leaf, ((0, 0), (0, 1)))
     m_ar = jnp.arange(max_leaf, dtype=jnp.int32)
+    c_ar = jnp.arange(C, dtype=jnp.int32)
     rows = jnp.arange(q)
 
     def cond(state):
         _, _, ci = state
-        nxt = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci * C),
+        nxt = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci),
                                     (q, 1))[:, 0]
-        return (ci < n_chunks) & jnp.any(nxt)
+        return (ci < G) & jnp.any(nxt)
 
     def body(state):
         out, cnt, ci = state
-        leaf_ids = jax.lax.dynamic_slice(order, (jnp.int32(0), ci * C),
-                                         (q, C))                   # (Q, C)
-        emitted = jax.lax.dynamic_slice(emit_sorted, (jnp.int32(0), ci * C),
-                                        (q, C))                    # (Q, C)
-        taken = jnp.take_along_axis(take_pad, leaf_ids, axis=1) & emitted
+        gid = jax.lax.dynamic_slice(order, (jnp.int32(0), ci),
+                                    (q, 1))                        # (Q, 1)
+        leaf_ids = jnp.minimum(gid * C + c_ar[None, :], L)         # (Q, C)
+        taken = jnp.take_along_axis(take_pad, leaf_ids, axis=1)
+        scanned = jnp.take_along_axis(scan_pad, leaf_ids, axis=1)
         s = leaf_start[leaf_ids]
         lc = leaf_count[leaf_ids]
         pos = s[..., None] + m_ar[None, None, :]                   # (Q,C,M)
-        valid = (m_ar[None, None, :] < lc[..., None]) & emitted[..., None]
+        valid = ((m_ar[None, None, :] < lc[..., None])
+                 & (taken | scanned)[..., None])
         pos = jnp.where(valid, pos, 0)
 
         pts = points_perm[pos]
