@@ -4,7 +4,14 @@ Same measurement window per epsilon (interleaved reps) so tunnel
 variance cannot flip the comparison.  Also sweeps chunk_leaves and
 tile_q for the tiled scheme.
 
-Usage: python -u benchmarks/radius_ab_probe.py [n] [q]
+``dim`` > 2 gives a SCATTERED-emission workload (round-4 advisor
+finding): at dim 8 the tree's leaf-id order correlates weakly with
+spatial adjacency, so a query's emitted leaves no longer cluster into
+consecutive groups — the regime where the group-granularity ordering
+(C leaves per sorted group) could pay up to ~C x the gather work of the
+r3 per-leaf sort.  Run both dims to check the C > 1 default survives.
+
+Usage: python -u benchmarks/radius_ab_probe.py [n] [q] [dim]
 """
 
 import os
@@ -42,12 +49,13 @@ def wall(fn, reps=3):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     q = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     from petal_neighbors_tpu import BallTree
     from petal_neighbors_tpu.trees import ball_query
 
     rng = np.random.default_rng(4)
-    pts = rng.normal(size=(n, 2)).astype(np.float32)
+    pts = rng.normal(size=(n, dim)).astype(np.float32)
     qs_np = pts[:q]
     tree = BallTree.euclidean(pts)
     from petal_neighbors_tpu.utils.validation import check_query_batch
@@ -63,6 +71,13 @@ def main():
                 tree._points_perm, tree._orig_ids, tree._centroids,
                 tree._radii, qs, eps, shape=tree._shape, metric=tree.metric,
                 cap=512, point_chunk=chunk),
+            # chunk_leaves=1 == the r3 per-LEAF sort ordering (groups of
+            # one): the baseline the group scheme is justified against
+            "per_query_C1": functools.partial(
+                ball_query.radius_query_capped,
+                tree._points_perm, tree._orig_ids, tree._centroids,
+                tree._radii, qs, eps, shape=tree._shape, metric=tree.metric,
+                cap=512, chunk_leaves=1, point_chunk=chunk),
         }
         for cl in (4, 8, 16):
             for tq in (128, 256):

@@ -161,7 +161,8 @@ def main():
     qs = check_query_batch(qs_np, tree.dim, tree.points.dtype)
     args = (tree._points_perm, tree._orig_ids, tree._centroids, tree._radii,
             qs)
-    modes = ("flags", "sortG", "fori1", "fori3", "fori9", "gather", "full")
+    modes = ("flags", "sortL", "sortG", "fori1", "fori3", "fori9", "gather",
+             "counts", "full")
 
     for eps in (0.05,):
         fns = {m: functools.partial(probe, *args, eps, shape=tree._shape,
