@@ -132,6 +132,12 @@ def main():
                           precision="high", scheme="bcap", passes=passes,
                           granule=g, points_split=p_perm)
 
+    say("--- A0: lane-min floor (passes=0: matmul + lane-min + seed) ---")
+    for g, tile in ((2048, 2048), (2048, 8192), (512, 8192)):
+        dt_f, _ = wall(functools.partial(kernel_only, g, tile, 256, k + 8,
+                                         0))
+        say(f"  g={g:5d} tile={tile:5d}: floor {q/dt_f/1e3:7.1f}k QPS")
+
     say("--- A/B: kernel-only + e2e sweep (k=%d) ---" % k)
     combos = [(2048, 2048, 256), (2048, 4096, 256), (2048, 8192, 256),
               (2048, 16384, 256), (1024, 8192, 256), (512, 4096, 256),
@@ -206,6 +212,42 @@ def main():
     dt_e, out = wall(capped100)
     say(f"  capped k=100 (r4 default): {q/dt_e/1e3:7.1f}k QPS  "
         f"recall {recall100(out[1]):.4f}")
+
+    say("--- F: large-k bcap route (bisect + compact + narrow sort) ---")
+    q2 = 2048
+    qs2 = qs_dev[:q2]
+
+    def oracle_dists(nq, kk):
+        qq = _t.from_numpy(qs[:nq]).double()
+        qn = (qq * qq).sum(1)[:, None]
+        parts = []
+        for s in range(0, n, 131072):
+            p64 = _t.from_numpy(np.ascontiguousarray(pts[s:s + 131072])
+                                ).double()
+            d = qn + (p64 * p64).sum(1)[None, :] - 2.0 * (qq @ p64.T)
+            dd, _ = _t.topk(d, kk, dim=1, largest=False)
+            parts.append(dd)
+        cd = _t.cat(parts, 1)
+        dd, _ = _t.topk(cd, kk, dim=1, largest=False)
+        return np.sqrt(np.maximum(dd.numpy(), 0.0))
+
+    for kk, g, tile in ((256, 512, 2048), (512, 512, 4096),
+                        (1000, 512, 4096), (1000, 512, 8192),
+                        (2048, 512, 16384), (4080, 512, 16384)):
+        try:
+            fn = functools.partial(
+                bf.knn_pallas_prepadded, ppad, pnorm, qs2, kk, n,
+                jnp.asarray(mu), precision="high", scheme="bcap",
+                bcap_planes=planes[g], bcap_tn=g, bcap_tile=tile)
+            dt_e, out = wall(fn, reps=2)
+            od = oracle_dists(32, kk)
+            got = np.asarray(out[0])[:32]
+            bad = int((np.abs(got - od) > 1e-3 * (1 + od)).sum())
+            say(f"  bcap k={kk} g={g} tile={tile}: {q2/dt_e/1e3:6.2f}k QPS"
+                f"  dist-mismatch {bad}/{od.size}")
+        except Exception as exc:
+            say(f"  bcap k={kk} g={g} tile={tile}: FAILED "
+                f"{type(exc).__name__}: {exc}")
 
 
 if __name__ == "__main__":

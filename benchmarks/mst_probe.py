@@ -6,7 +6,12 @@ oracle at small n).  Stage split: core distances (now routed through the
 fused Pallas kernel, c06d0f2) vs the Boruvka scan rounds vs host
 union-find.
 
-Usage: python -u benchmarks/mst_probe.py [n] [dim] [k]
+Usage: python -u benchmarks/mst_probe.py [n] [dim] [k] [scheme]
+
+``scheme`` (default "scan"): "scan" stages the treeless pipeline with a
+per-stage split; "dual" / "auto" run the public
+``mutual_reachability_mst`` end-to-end (the dim<=3 tree route) — the
+round-5 A/B for the low-dim rounds (VERDICT item 6).
 """
 
 import os
@@ -33,6 +38,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    scheme = sys.argv[4] if len(sys.argv) > 4 else "scan"
 
     from petal_neighbors_tpu.trees import boruvka
     from petal_neighbors_tpu.utils.validation import check_points
@@ -40,7 +46,19 @@ def main():
 
     rng = np.random.default_rng(0xB0)
     pts = rng.random((n, dim), dtype=np.float32)
-    say(f"n={n} dim={dim} k={k} device={jax.devices()[0].platform}")
+    say(f"n={n} dim={dim} k={k} scheme={scheme} "
+        f"device={jax.devices()[0].platform}")
+
+    if scheme != "scan":
+        t0 = time.perf_counter()
+        us, vs, ws = boruvka.mutual_reachability_mst(pts, k, scheme=scheme)
+        total = time.perf_counter() - t0
+        say(f"TOTAL MST ({scheme}): {total:.1f} s  (edges={len(us)}, "
+            f"weight_sum={float(np.sum(ws)):.6f})")
+        print({"n": n, "dim": dim, "k": k, "scheme": scheme,
+               "total_s": round(total, 1),
+               "weight_sum": float(np.sum(ws))})
+        return
 
     pts_dev = check_points(pts)
     np.asarray(pts_dev[:1])  # sync the upload

@@ -9,6 +9,13 @@ Each benchmark prints one JSON line.  The reference publishes no numbers
 (BASELINE.md), so these record OUR numbers per workload; bench.py at the
 repo root remains the single headline metric.
 
+Config walls report BOTH throughput definitions (bench.py methodology,
+BENCH_NOTES round 4): ``value`` = sustained (batches in flight via async
+dispatch, all fetched), ``qps_sequential`` = per-batch-synced, which
+additionally bills ~31-41 ms/batch of tunnel RTT + fetch.  Queries are
+device-resident (a NumPy pass-through re-uploads the batch through the
+tunnel every call — measured 3x on config3 k=10).
+
 Reference workloads (benches/ball_tree.rs):
   build:        n=128, d=10, f64 uniform [0,1), BallTree::euclidean (:8-20)
   query:        n=64, d=10, 64 self-queries, k=5 (:43-62)
@@ -68,8 +75,40 @@ def bench_criterion():
           _time(lambda: tree.query_radius_batch(pts64, 0.2)), batched=True)
 
 
+def _time_seq(fn, reps=3):
+    """Per-batch-synced wall: one call, one result fetch, best-of-reps.
+    The fetch sync costs ~31-41 ms of tunnel RTT per call
+    (benchmarks/fetch_probe.py) — the honest 'sequential' wall."""
+    out = fn()
+    _sync(out[0] if isinstance(out, tuple) else out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        _sync(out[0] if isinstance(out, tuple) else out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_sustained(fn, depth=6, reps=2):
+    """Serving throughput: ``depth`` batches in flight (async dispatch),
+    synced at the end; every batch executes and is fetched."""
+    outs = [fn() for _ in range(2)]
+    for out in outs:
+        _sync(out[0] if isinstance(out, tuple) else out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(depth)]
+        for out in outs:
+            _sync(out[0] if isinstance(out, tuple) else out)
+        best = min(best, (time.perf_counter() - t0) / depth)
+    return best
+
+
 def bench_config1():
     """100k synthetic 2-D Gaussian, BallTree euclidean, k=2."""
+    import jax.numpy as jnp
     from petal_neighbors_tpu import BallTree
 
     rng = np.random.default_rng(1)
@@ -78,57 +117,76 @@ def bench_config1():
     t0 = time.perf_counter()
     tree = BallTree.euclidean(pts)
     build_s = time.perf_counter() - t0
-    dt = _time(lambda: tree.query_batch(qs, 2), reps=3)
+    qs = jnp.asarray(qs)   # queries resident: the upload is not engine time
+    dt = _time_seq(lambda: tree.query_batch(qs, 2))
+    dts = _time_sustained(lambda: tree.query_batch(qs, 2))
     print(json.dumps({"metric": "config1_balltree_100k_2d_k2_qps",
-                      "value": round(len(qs) / dt, 1), "unit": "qps",
+                      "value": round(len(qs) / dts, 1), "unit": "qps",
+                      "qps_sequential": round(len(qs) / dt, 1),
                       "build_s": round(build_s, 3)}))
 
 
 def bench_config2():
-    """VP tree, low-dim, k=10, 1k-query batched lockstep traversal."""
+    """VP tree, low-dim, k=10, batched lockstep traversal (1k = the
+    BASELINE batch; 4k = the gather-bound regime, r3 tiled frontier)."""
+    import jax.numpy as jnp
     from petal_neighbors_tpu import VantagePointTree
 
     rng = np.random.default_rng(2)
     pts = rng.normal(size=(100_000, 2)).astype(np.float32)
-    qs = rng.normal(size=(1_000, 2)).astype(np.float32)
+    qs_np = rng.normal(size=(4_096, 2)).astype(np.float32)
     t0 = time.perf_counter()
     vp = VantagePointTree.euclidean(pts)
     build_s = time.perf_counter() - t0
-    dt = _time(lambda: vp.query_batch(qs, 10), reps=3)
-    print(json.dumps({"metric": "config2_vptree_100k_2d_k10_qps",
-                      "value": round(len(qs) / dt, 1), "unit": "qps",
-                      "build_s": round(build_s, 3)}))
+    for nq, tag in ((1_000, ""), (4_096, "_4kq")):
+        qs = jnp.asarray(qs_np[:nq])
+        dt = _time_seq(lambda: vp.query_batch(qs, 10))
+        dts = _time_sustained(lambda: vp.query_batch(qs, 10))
+        out = {"metric": f"config2_vptree_100k_2d_k10{tag}_qps",
+               "value": round(nq / dts, 1), "unit": "qps",
+               "qps_sequential": round(nq / dt, 1)}
+        if not tag:
+            out["build_s"] = round(build_s, 3)
+        print(json.dumps(out))
 
 
 def bench_config3():
     """SIFT-1M-shaped exact top-k via the MXU path (same as bench.py but
     also k=100)."""
+    import jax.numpy as jnp
     from petal_neighbors_tpu import BruteForce
 
     rng = np.random.default_rng(3)
     pts = rng.random((1_000_000, 128), dtype=np.float32) * 255
     qs = rng.random((10_000, 128), dtype=np.float32) * 255
     idx = BruteForce.euclidean(pts)
+    qs = jnp.asarray(qs)   # resident queries (bench.py does the same; the
+    # old np pass-through re-uploaded 5 MB per call through the tunnel)
     for k in (10, 100):
-        dt = _time(lambda: idx.query_batch(qs, k), reps=3)
+        dt = _time_seq(lambda: idx.query_batch(qs, k))
+        dts = _time_sustained(lambda: idx.query_batch(qs, k))
         print(json.dumps({"metric": f"config3_sift1m_k{k}_qps",
-                          "value": round(len(qs) / dt, 1), "unit": "qps"}))
+                          "value": round(len(qs) / dts, 1), "unit": "qps",
+                          "qps_sequential": round(len(qs) / dt, 1)}))
 
 
 def bench_config4():
     """query_radius epsilon sweep (DBSCAN driver) with masked outputs."""
     from petal_neighbors_tpu import BallTree
 
+    import jax.numpy as jnp
     rng = np.random.default_rng(4)
     pts = rng.normal(size=(100_000, 2)).astype(np.float32)
-    qs = pts[:4096]
+    qs = jnp.asarray(pts[:4096])
     tree = BallTree.euclidean(pts)
     for eps in (0.01, 0.05, 0.2):
         # masked-segment output (indices + counts), the DBSCAN driver shape
-        dt = _time(lambda: tree.query_radius_batch(qs, eps, cap=512),
-                   reps=3)
+        dt = _time_seq(lambda: tree.query_radius_batch(qs, eps, cap=512))
+        dts = _time_sustained(
+            lambda: tree.query_radius_batch(qs, eps, cap=512))
         print(json.dumps({"metric": f"config4_radius_eps{eps}_qps",
-                          "value": round(len(qs) / dt, 1), "unit": "qps"}))
+                          "value": round(len(qs) / dts, 1), "unit": "qps",
+                          "qps_sequential": round(len(qs) / dt, 1)}))
 
 
 def bench_config5():
@@ -142,13 +200,15 @@ def bench_config5():
     pts = jnp.asarray(rng.random((n, 960), dtype=np.float32))
     # ONE upload shared by all three indexes: at ~30 MB/s tunnel
     # bandwidth each extra 3.8 GB host->device copy costs ~2 minutes
-    qs = rng.random((1_000, 960), dtype=np.float32)
+    qs = jnp.asarray(rng.random((1_000, 960), dtype=np.float32))
     for name, metric in (("euclidean", None), ("cosine", Cosine()),
                          ("minkowski3", Minkowski(3.0))):
         idx = BruteForce(pts, metric or "euclidean")
-        dt = _time(lambda: idx.query_batch(qs, 10), reps=2)
+        dt = _time_seq(lambda: idx.query_batch(qs, 10), reps=2)
+        dts = _time_sustained(lambda: idx.query_batch(qs, 10), depth=4)
         print(json.dumps({"metric": f"config5_gist960d_{name}_qps",
-                          "value": round(len(qs) / dt, 1), "unit": "qps"}),
+                          "value": round(len(qs) / dts, 1), "unit": "qps",
+                          "qps_sequential": round(len(qs) / dt, 1)}),
               flush=True)
 
 

@@ -415,6 +415,103 @@ def _bcap_rescore(pts_padded, xn_padded, queries, block_ids, k_eff: int,
     return best_rd, best_i
 
 
+#: tie margin of the large-k compaction: entries beyond the exact k-th
+#: cutoff the (Q, W) block can absorb before the row must repair
+_BCAP_TIE_MARGIN = 64
+
+
+def _bcap_rescore_large(pts_padded, xn_padded, queries, block_ids,
+                        k_eff: int, block: int, interpret: bool):
+    """Exact rescore + selection for LARGE-k bcap candidates (round 5).
+
+    ``smallest_k`` (lax.top_k) and a full-width row sort are both walls
+    at R = kb * block in the thousands (BENCH_NOTES round 3: ~225 ms+
+    per kilolane of sorted width).  This path keeps the sorted width at
+    ``W = k_eff + tie margin`` instead of R:
+
+      1. exact direct-form rd over the R candidate rows (slab gather,
+         streamed over query chunks — same as ``_bcap_rescore``), kept
+         as one (Q, R) array;
+      2. the exact k-th value per row by BIT-LEVEL BISECTION — rd >= 0,
+         so its int32 bit pattern is order-isomorphic and 31 masked
+         count-passes find the k-th smallest without any sort;
+      3. entries <= cutoff compact (cumsum positions, drop-mode scatter)
+         into a (Q, W) block — by construction >= k entries, all of the
+         true top-k among them unless ties overflow the margin (then
+         ``overflow`` marks the row for the caller's repair);
+      4. one ascending row sort of width W (bitonic <= 2048, else
+         counting-rank), sliced to k.
+
+    Returns (rd (Q, k) ascending, ids (Q, k), overflow (Q,) bool).
+    Rows with fewer than k finite candidates get a +inf cutoff: every
+    finite entry compacts (in input order) and sorts first — exact, and
+    never flagged (the caller's thr-based covered logic decides).
+    """
+    from .pallas.rank_sort_kernel import rank_sort_pairs
+    from .pallas.sort_kernel import bitonic_sort_pairs
+
+    q, kb = block_ids.shape
+    n_pad, dim = pts_padded.shape
+    pts3 = pts_padded.reshape(n_pad // block, block, dim)
+    xn3 = xn_padded.reshape(n_pad // block, block)
+    R = kb * block
+    qb = max(8, min(512, (192 << 20) // max(R * dim * 4, 1) // 8 * 8))
+    nbq = -(-q // qb)
+    qpad = nbq * qb - q
+    bi_b = jnp.pad(block_ids, ((0, qpad), (0, 0))).reshape(nbq, qb, kb)
+    qs_b = jnp.pad(queries, ((0, qpad), (0, 0))).reshape(nbq, qb, dim)
+    off = jnp.arange(block, dtype=jnp.int32)
+
+    def body(_, xs):
+        bic, qsc = xs
+        safe = jnp.where(bic >= 0, bic, 0)
+        cand = pts3[safe]                         # (qb, kb, block, d)
+        xnc = xn3[safe]
+        rd = jnp.sum((qsc[:, None, None, :] - cand) ** 2, axis=-1)
+        ok = jnp.isfinite(xnc) & (bic >= 0)[:, :, None]
+        rd = jnp.where(ok, nan_to_inf(rd), jnp.inf)
+        rows = safe[:, :, None] * block + off[None, None, :]
+        return None, (rd.reshape(qb, R), rows.reshape(qb, R))
+
+    _, (rd, rows) = jax.lax.scan(body, None, (bi_b, qs_b))
+    rd = rd.reshape(nbq * qb, R)[:q]
+    rows = rows.reshape(nbq * qb, R)[:q]
+
+    # ---- exact k-th cutoff by bisection on the f32 bit order ----------
+    bits = jax.lax.bitcast_convert_type(rd, jnp.int32)   # rd >= 0: monotone
+    inf_bits = jnp.int32(0x7F800000)
+
+    def bstep(_, st):
+        lo, hi = st
+        mid = lo + (hi - lo) // 2
+        c = jnp.sum(bits <= mid[:, None], axis=1)
+        ge = c >= k_eff
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo0 = jnp.zeros((q,), jnp.int32)
+    hi0 = jnp.full((q,), inf_bits, jnp.int32)
+    _, cutoff = jax.lax.fori_loop(0, 31, bstep, (lo0, hi0))
+
+    # ---- compact entries <= cutoff into (Q, W) ------------------------
+    W = min(R, -(-(k_eff + _BCAP_TIE_MARGIN) // 128) * 128)
+    keep = bits <= cutoff[:, None]
+    count = jnp.sum(keep, axis=1)
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep & (pos < W), pos, W)            # W = dropped
+    qrow = jnp.arange(q, dtype=jnp.int32)[:, None]
+    cd = jnp.full((q, W + 1), jnp.inf, jnp.float32).at[qrow, pos].set(
+        rd, mode="drop")[:, :W]
+    cidx = jnp.full((q, W + 1), -1, jnp.int32).at[qrow, pos].set(
+        rows, mode="drop")[:, :W]
+    overflow = (count > W) & (cutoff < inf_bits)
+
+    row_sort = rank_sort_pairs if W > 2048 else bitonic_sort_pairs
+    sd, si = row_sort(cd, cidx, interpret=interpret)
+    best_rd, best_i = sd[:, :k_eff], si[:, :k_eff]
+    best_i = jnp.where(jnp.isfinite(best_rd), best_i, -1)
+    return best_rd, best_i, overflow
+
+
 #: largest k the fused path serves: the merge-scheme kernel's working
 #: set is O(log k) passes per update, VMEM-bounded (~4096 at tq=64)
 PALLAS_K_MAX = 4096 - RESCORE_SLACK
@@ -476,7 +573,7 @@ def _rescore_large(points, queries, idx, k: int, interpret: bool):
 @partial(jax.jit, static_argnames=("k_eff", "n_real", "fast", "precision",
                                    "tq", "tn", "interpret", "normalize_q",
                                    "out_rdist", "scheme", "capped_passes",
-                                   "bcap_tn"))
+                                   "bcap_tn", "bcap_tile"))
 def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          n_real: int, center=None, fast: bool = False,
                          precision: str | None = None,
@@ -485,7 +582,8 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                          normalize_q: bool = False, out_rdist: bool = False,
                          scheme: str | None = None,
                          capped_passes: int | None = None,
-                         bcap_planes=None, bcap_tn: int | None = None):
+                         bcap_planes=None, bcap_tn: int | None = None,
+                         bcap_tile: int | None = None):
     """Fused-kernel k-NN over an index pre-padded by ``pad_for_pallas``.
 
     ``pts_padded``/``xn_padded`` are expected pre-CENTERED (center_of);
@@ -693,37 +791,53 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
                 "planes (prepare_bcap_planes)")
         from .pallas.knn_kernel import BCAP_LANES
         p_perm, xn_perm = bcap_planes
-        # the bcap point tile may differ from the generic tn (smaller
-        # tiles shrink the candidate blocks the rescore pays for); it
-        # MUST match the tn the planes were interleaved at
+        # ``bcap_tn`` = the GRANULE the planes were interleaved at (sets
+        # block = the rows the rescore pays per candidate id);
+        # ``bcap_tile`` = the kernel's point-tile width, a multiple of
+        # the granule (sets the grid-step count — bigger tiles amortize
+        # the per-step pipeline overhead without growing the rescore)
         btn = tn if bcap_tn is None else bcap_tn
         assert xn_perm.shape[0] % btn == 0, (xn_perm.shape, btn)
+        tile = btn if bcap_tile is None else bcap_tile
+        assert tile % btn == 0 and xn_perm.shape[0] % tile == 0, \
+            (tile, btn, xn_perm.shape)
         block = btn // BCAP_LANES
-        kb = min(max(k_eff + RESCORE_SLACK, 12), BCAP_LANES)
-        lam = kb * btn / n_real
+        kb = min(max(k_eff + RESCORE_SLACK, 12),
+                 (tile // btn) * BCAP_LANES)
+        lam = kb * tile / n_real
         if capped_passes is not None:
             passes = capped_passes
         elif lam <= 0.5:
             passes = 2
         else:
-            passes = min(16, math.ceil(lam + 3.0 * math.sqrt(lam) + 2.0))
+            passes = min(48, math.ceil(lam + 3.0 * math.sqrt(lam) + 2.0))
         if precision == "high":
             _, bix, thr = knn_pallas(
-                pts_padded, qs, xn_perm, k=kb, tq=tq, tn=btn,
+                pts_padded, qs, xn_perm, k=kb, tq=tq, tn=tile,
                 precision="high", scheme="bcap", passes=passes,
-                points_split=p_perm, interpret=interpret)
+                granule=btn, points_split=p_perm, interpret=interpret)
         else:
             _, bix, thr = knn_pallas(
-                p_perm, qs, xn_perm, k=kb, tq=tq, tn=btn,
+                p_perm, qs, xn_perm, k=kb, tq=tq, tn=tile,
                 precision=precision, scheme="bcap", passes=passes,
-                interpret=interpret)
-        best_rd, best_i = _bcap_rescore(pts_padded, xn_padded, qs, bix,
-                                        k_eff, block)
+                granule=btn, interpret=interpret)
+        if k_eff * block > 1024:
+            # large k: smallest_k's lax.top_k over R = kb*block lanes is
+            # a wall (653 ms at ~1k width, r3) — bisect the exact k-th,
+            # compact, and sort only W = k + margin lanes; tie-overflow
+            # rows join the repair set
+            best_rd, best_i, overflow = _bcap_rescore_large(
+                pts_padded, xn_padded, qs, bix, k_eff, block, interpret)
+        else:
+            best_rd, best_i = _bcap_rescore(pts_padded, xn_padded, qs, bix,
+                                            k_eff, block)
+            overflow = jnp.zeros((qs.shape[0],), bool)
         qn = jnp.sum(qs * qs, axis=-1)
         xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded,
                                    0.0))
         err = _proof_err(precision, dim, qn, xn_max)
-        covered = (kb * block >= n_real) | (best_rd[:, -1] <= thr - err)
+        covered = ((kb * block >= n_real)
+                   | (best_rd[:, -1] <= thr - err)) & ~overflow
         # a non-finite k-th rescored value is covered ONLY when thr is
         # also non-finite (NaN query, or nothing finite was skipped —
         # miss_min/tau both +inf).  A finite thr with an inf k-th means

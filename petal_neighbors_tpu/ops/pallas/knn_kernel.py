@@ -546,7 +546,8 @@ def bcap_tile_n(dim: int) -> int:
 def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
                      out_d_ref, out_i_ref, out_t_ref,
                      best_d, best_i, miss_min, *, kb: int, tn: int,
-                     n_chunks: int, precision: str, passes: int):
+                     n_chunks: int, precision: str, passes: int,
+                     granule: int):
     """Block-capped streaming top-k (round-4 headline kernel).
 
     The capped kernel's cost is its extraction passes over the full
@@ -581,13 +582,25 @@ def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
     ``thr = min(max(working set), miss_min)`` therefore lower-bounds
     every outside point and the caller's per-batch proof + compacted
     repair guarantee exactness (knn_pallas_prepadded).
+
+    Round 5 decouples the INTERLEAVE GRANULE from the KERNEL TILE: the
+    planes are interleaved per ``granule`` rows (block = granule / 128
+    rows per lane — what the caller's slab rescore pays per id), while
+    the tile streams ``tn = groups * granule`` rows per grid step (what
+    sets the grid-step count and its per-step pipeline overhead).  Each
+    granule-group reduces to its own (tq, 128) lane minima; extraction
+    runs once on the (tq, groups*128) concat with block ids
+    ``nj*groups*128 + g*128 + lane`` — the same contiguous original
+    rows ``id*block .. (id+1)*block``.
     """
     nj = pl.program_id(1)
     tq = best_d.shape[0]
     L = BCAP_LANES
-    nsl = tn // L
+    groups = tn // granule
+    nsl = granule // L
+    LG = groups * L
     kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, kb), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, LG), 1)
 
     if precision == "high":
         d = q_ref.shape[1]
@@ -603,13 +616,20 @@ def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
         s = jnp.dot(q_ref[:], p_ref[:].T,
                     preferred_element_type=jnp.float32, precision=prec)
 
-    # lane-min accumulation: lm[:, l] = min over slices t of
-    # u[:, t*L + l] = xn_perm[t*L + l] + s[:, t*L + l]; with the build
-    # permutation, lane l == original rows [l*B, (l+1)*B) of the chunk
-    lm = xn_ref[:, :L] + s[:, :L]
-    for t in range(1, nsl):
-        lm = jnp.minimum(lm, xn_ref[:, t * L:(t + 1) * L]
-                         + s[:, t * L:(t + 1) * L])
+    # lane-min accumulation per granule-group: lm_g[:, l] = min over
+    # slices t of u[:, g*granule + t*L + l] = xn_perm[..] + s[:, ..];
+    # with the build permutation, lane l of group g == original rows
+    # [l*B, (l+1)*B) of granule-chunk nj*groups + g
+    lms = []
+    for g in range(groups):
+        o = g * granule
+        lm_g = xn_ref[:, o:o + L] + s[:, o:o + L]
+        for t in range(1, nsl):
+            lo = o + t * L
+            lm_g = jnp.minimum(lm_g, xn_ref[:, lo:lo + L]
+                               + s[:, lo:lo + L])
+        lms.append(lm_g)
+    lm = jnp.concatenate(lms, axis=1) if groups > 1 else lms[0]
 
     @pl.when(nj == 0)
     def _():
@@ -626,9 +646,19 @@ def _knn_kernel_bcap(xn_ref, q_ref, p_ref, qn_ref,
     m = jnp.min(r, axis=1)
     bd = best_d[:]
     bi = best_i[:]
-    base = nj * L
-    for _ in range(passes):
-        m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    base = nj * LG
+    if passes <= 8:
+        for _ in range(passes):
+            m, r, bd, bi = _fold_min(m, r, col, bd, bi, base, kcol)
+    else:
+        # large-k budgets: STATIC-trip fori_loop (same rationale as the
+        # capped kernel — Mosaic still pipelines grid steps, the trace
+        # stays O(1) in ``passes``)
+        def _body(_, st):
+            m, r, bd, bi = st
+            return _fold_min(m, r, col, bd, bi, base, kcol)
+
+        m, r, bd, bi = jax.lax.fori_loop(0, passes, _body, (m, r, bd, bi))
     best_d[:] = bd
     best_i[:] = bi
     miss_min[:] = jnp.minimum(miss_min[:], m[:, None])
@@ -834,12 +864,13 @@ def prepare_split(points):
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret",
                                              "subtile", "precision",
                                              "sort_output", "scheme",
-                                             "buf_w", "passes"))
+                                             "buf_w", "passes", "granule"))
 def knn_pallas(points, queries, point_norms, *, k: int,
                tq: int = 256, tn: int = 4096, interpret: bool = False,
                subtile: int | None = None, precision: str = "highest",
                points_split=None, sort_output: bool = True,
-               scheme: str = "fold", buf_w: int = 16, passes: int = 2):
+               scheme: str = "fold", buf_w: int = 16, passes: int = 2,
+               granule: int | None = None):
     """Exact-within-precision k-NN via the fused Pallas kernel
     (squared-Euclidean).
 
@@ -882,15 +913,21 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     # past the fold scheme's practical k ceiling (VMEM is the only limit).
     # capped extends too: its per-pass working-set fold is O(1) passes
     # regardless of k, and ``passes`` (not k) bounds the extraction work
-    assert 1 <= k <= (4096 if scheme in ("merge", "capped") else 1024), k
+    assert 1 <= k <= (4096 if scheme in ("merge", "capped", "bcap")
+                      else 1024), k
     if scheme == "capped":
         assert k <= tn, (k, tn)  # tile-0 seed needs k columns
     if scheme == "bcap":
-        # k here is the BLOCK working-set width kb; seeds need kb lanes,
-        # and inputs must be prepare_bcap_planes outputs (permuted,
-        # -2-prescaled; point_norms likewise permuted)
-        assert k <= BCAP_LANES, k
-        assert tn % BCAP_LANES == 0, tn
+        # k here is the BLOCK working-set width kb; seeds need kb lanes
+        # of the (tq, groups*128) minima tile, and inputs must be
+        # prepare_bcap_planes outputs (permuted per ``granule`` rows,
+        # -2-prescaled; point_norms likewise permuted).  ``granule``
+        # defaults to the whole tile (the round-4 single-group layout).
+        if granule is None:
+            granule = tn
+        assert tn % granule == 0 and granule % BCAP_LANES == 0, \
+            (tn, granule)
+        assert k <= (tn // granule) * BCAP_LANES, (k, tn, granule)
     assert precision in PRECISIONS, precision
     n_chunks = n // tn
     if subtile is None:
@@ -917,7 +954,7 @@ def knn_pallas(points, queries, point_norms, *, k: int,
     elif scheme == "bcap":
         kernel = functools.partial(_knn_kernel_bcap, kb=k, tn=tn,
                                    n_chunks=n_chunks, precision=precision,
-                                   passes=passes)
+                                   passes=passes, granule=granule)
     elif scheme == "capped":
         kernel = functools.partial(_knn_kernel_capped, k=k, tn=tn,
                                    n_chunks=n_chunks, precision=precision,

@@ -518,7 +518,7 @@ def _radius_leaf_flags(queries, centroids, radii, r, shape: TreeShape,
                                    "point_chunk"))
 def radius_query_capped(points_perm, orig_ids, centroids, radii,
                         queries, radius, *, shape: TreeShape, metric: Metric,
-                        cap: int, chunk_leaves: int = 4,
+                        cap: int, chunk_leaves: int = 1,
                         point_chunk: int = 65536):
     """Tree-pruned batched radius search with capped neighbor lists.
 
@@ -549,10 +549,14 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
     # row, ~450 ms of the ~500 ms call at config4's L=1024 (the round-4
     # radius_decomp_probe: the loop steps are ~5 ms each; the argsort was
     # the wall).  Groups of C CONSECUTIVE leaves cut the sort width to
-    # L/C; tree leaf order is spatial, so a query's emitted leaves
-    # cluster into few groups and the extra non-emitted leaves a group
-    # drags in are masked per leaf below (never accepted — identical
-    # membership semantics).
+    # L/C; the extra non-emitted leaves a group drags in are masked per
+    # leaf below (never accepted — identical membership semantics).
+    # DEFAULT is C=1 (the per-leaf sort): the round-5 A/B
+    # (benchmarks/radius_ab_probe.py, 100k x 2-d and the scattered
+    # dim-8 workload) measured C=1 >= C=4 at every epsilon — at
+    # DBSCAN-regime eps the grouped gather pays up to ~C x the emitted-
+    # leaf gather work (11.1k vs 5.0k QPS at eps=0.01) and the argsort
+    # saving never materializes end-to-end.  C>1 remains a caller knob.
     C = max(1, min(chunk_leaves, L))
     G = -(-L // C)
     padL = G * C - L
@@ -560,10 +564,11 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
     order = jnp.argsort(~emit_g, axis=1, stable=True).astype(jnp.int32)
     emit_sorted = jnp.take_along_axis(emit_g, order, axis=1)   # (Q, G)
 
+    # _leaf_tables already carries the sentinel row at index L (start 0,
+    # count 0 — the clamp target for pad leaves)
     starts_np, counts_np = _leaf_tables(shape)
-    # sentinel leaf L: start 0, count 0 (clamp target for pad leaves)
-    leaf_start = jnp.asarray(np.append(starts_np, 0))
-    leaf_count = jnp.asarray(np.append(counts_np, 0))
+    leaf_start = jnp.asarray(starts_np)
+    leaf_count = jnp.asarray(counts_np)
     # pad the flag tables with the sentinel leaf column (never emitted)
     take_pad = jnp.pad(take_leaf, ((0, 0), (0, 1)))
     scan_pad = jnp.pad(scan_leaf, ((0, 0), (0, 1)))
@@ -624,7 +629,7 @@ def radius_query_capped(points_perm, orig_ids, centroids, radii,
 def radius_query_capped_tiled(points_perm, orig_ids, centroids, radii,
                               queries, radius, *, shape: TreeShape,
                               metric: Metric, cap: int,
-                              chunk_leaves: int = 4, tile_q: int = 128,
+                              chunk_leaves: int = 8, tile_q: int = 128,
                               point_chunk: int = 65536):
     """``radius_query_capped`` with a TILE-SHARED leaf frontier (round-4
     port of the config1 trick to the radius path, the DBSCAN driver).
@@ -643,6 +648,11 @@ def radius_query_capped_tiled(points_perm, orig_ids, centroids, radii,
     a leaf a member did not emit adds work, never results.  Counts stay
     exact past ``cap``; within-row order is traversal order (unsorted,
     like the reference).
+
+    ``chunk_leaves`` default 8 from the round-5 A/B (radius_ab_probe,
+    100k x 2-d: C8/tq128 9.6/8.7/6.6k QPS across eps vs 9.5/5.5/6.5k at
+    the old C4; dim-8 scattered emission is C-insensitive, 1.7-1.8k at
+    every C — the tile-union already absorbs the grouping waste).
     """
     n, dim = points_perm.shape
     q = queries.shape[0]

@@ -108,3 +108,39 @@ class TestDualJoin:
         d, i = dual_tree_knn(ta, tb, 5)
         np.testing.assert_allclose(np.asarray(d), _oracle(a, b, 5),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestJoinViaTree:
+    """Round-5 low-dim join engine: tree_b's tile-shared single-tree
+    k-NN driven with tree_a's points (the per-member-tau replacement for
+    the leaf-pair sweep's group tau, VERDICT r4 item 6)."""
+
+    def test_matches_oracle_and_sweep(self, rng):
+        from petal_neighbors_tpu.trees.dual import _join_via_tree
+        a = rng.normal(size=(700, 2)).astype(np.float32)
+        b = rng.normal(size=(900, 2)).astype(np.float32)
+        ta, tb = BallTree.euclidean(a), BallTree.euclidean(b)
+        d, i = _join_via_tree(ta, tb, 5)
+        d, i = np.asarray(d), np.asarray(i)
+        od = _oracle(a, b, 5)
+        np.testing.assert_allclose(d, od, rtol=1e-5, atol=1e-6)
+        real = np.sqrt(((a[:, None] - b[i]) ** 2).sum(-1))
+        np.testing.assert_allclose(real, d, rtol=1e-5, atol=1e-6)
+
+    def test_blocked_launches_concat(self, rng):
+        from petal_neighbors_tpu.trees.dual import _join_via_tree
+        a = rng.normal(size=(515, 3)).astype(np.float32)
+        b = rng.normal(size=(400, 3)).astype(np.float32)
+        ta, tb = BallTree.euclidean(a), BallTree.euclidean(b)
+        d, i = _join_via_tree(ta, tb, 4, qblock=128)
+        od = _oracle(a, b, 4)
+        np.testing.assert_allclose(np.asarray(d), od, rtol=1e-5, atol=1e-6)
+
+    def test_self_join_includes_self(self, rng):
+        from petal_neighbors_tpu.trees.dual import _join_via_tree
+        pts = rng.normal(size=(600, 2)).astype(np.float32)
+        t = BallTree.euclidean(pts)
+        d, i = _join_via_tree(t, t, 3)
+        d, i = np.asarray(d), np.asarray(i)
+        np.testing.assert_array_equal(i[:, 0], np.arange(600))
+        np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)

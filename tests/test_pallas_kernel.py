@@ -467,6 +467,90 @@ class TestBcapScheme:
             np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
                                        rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("groups", [2, 4])
+    @pytest.mark.parametrize("k", [10, 40])
+    def test_multi_group_tile_exact(self, rng, groups, k):
+        """Round-5 granule/tile decoupling: the kernel tile spans
+        ``groups`` interleave granules (one (tq, 128) lane-minima set
+        each, extraction over the concat) — results must match the f64
+        oracle exactly, same as the single-group layout."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q = 8192, 32, 96
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[11] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[5] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, "high")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision="high",
+            tn=512, interpret=True, scheme="bcap", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=512 * groups)
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        od = np.sort(d2, 1)[:, :k]
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k", [280, 400])
+    def test_large_k_bisect_compact_sort(self, rng, k):
+        """Round-5 large-k bcap route (_bcap_rescore_large): exact-k-th
+        bit bisection + compaction + narrow sort must match the f64
+        oracle, including the tie-overflow repair path."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q = 8192, 16, 48
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[3] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[7] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, "high")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision="high",
+            tn=512, interpret=True, scheme="bcap", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=2048, capped_passes=8)
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        assert dd.shape == (q, k)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        od = np.sort(d2, 1)[:, :k]
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_bcap_rescore_large_tie_overflow_flags(self, rng):
+        """A corpus with > _BCAP_TIE_MARGIN exact ties AT the k-th value
+        must set the overflow flag (the compaction may have dropped true
+        members) — the covered logic then repairs those rows."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, block, k = 2048, 8, 4, 272
+        # all points identical -> every candidate rd ties at the cutoff
+        pts = np.ones((n, d), dtype=np.float32)
+        qs = np.zeros((4, d), dtype=np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        kb = 312
+        bix = jnp.broadcast_to(
+            jnp.arange(kb, dtype=jnp.int32)[None, :], (4, kb))
+        rd, ids, overflow = bf._bcap_rescore_large(
+            pp, pn, jnp.asarray(qs), bix, k, block, True)
+        assert bool(np.asarray(overflow).all())
+        # values are still the tied distance; ids are a subset
+        np.testing.assert_allclose(np.asarray(rd), d * 1.0, rtol=1e-6)
+
     def test_block_threshold_is_sound(self, rng):
         """Every corpus point in a block OUTSIDE the returned block set
         must score >= thr: thr lower-bounds outside BLOCK minima, and a
