@@ -702,7 +702,7 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # the kernel's k-pass extraction sort is pure waste (dominant at
         # large k); the proof threshold below uses the row MAX instead of
         # the last column
-        if scheme in ("two_phase", "capped", "bcap"):
+        if scheme in ("two_phase", "capped", "bcap", "bcap2"):
             # fallback engine for the proof-gated schemes; fold's
             # working set caps at 1024, merge covers the rest
             run_scheme = "fold" if k_scan <= 1024 else "merge"
@@ -845,6 +845,60 @@ def knn_pallas_prepadded(pts_padded, xn_padded, queries, k_eff: int,
         # working set still held +inf seeds — must repair, not accept
         # (reachable only with forced tiny-n/NaN-heavy inputs, but the
         # old unconditional clause was a soundness hole there)
+        covered = covered | (~jnp.isfinite(best_rd[:, -1])
+                             & ~jnp.isfinite(thr))
+        best_rd, best_i = prove_repair(covered, best_rd, best_i)
+        return to_out(best_rd), best_i
+
+    if scheme == "bcap2":
+        # Two-phase block-capped (round 5, VERDICT r4 #1): phase A
+        # streams per-block u-domain lane minima straight to HBM with
+        # ZERO cross-grid-step state (_bcap_minima_kernel — pipelines
+        # like the structural floor probe); phase B selects each
+        # query's kb smallest block minima in XLA (lax.top_k over the
+        # (Q, N/block) minima matrix) — the in-kernel extraction passes
+        # and the scratch serialization the bcap kernel pays are gone,
+        # traded for the minima matrix's HBM round-trip.  The selected
+        # blocks' contiguous slabs are exactly re-scored and the same
+        # per-batch proof + compacted repair certify exactness: an
+        # unselected block's min >= thr (the kb-th selected min), so
+        # every point outside the candidate set has true distance
+        # >= thr - err.
+        if bcap_planes is None:
+            raise ValueError(
+                "scheme='bcap2' needs the index-resident interleaved "
+                "planes (prepare_bcap_planes)")
+        from .pallas.knn_kernel import BCAP_LANES, bcap_minima
+        p_perm, xn_perm = bcap_planes
+        btn = tn if bcap_tn is None else bcap_tn
+        assert xn_perm.shape[0] % btn == 0, (xn_perm.shape, btn)
+        tile = btn if bcap_tile is None else bcap_tile
+        assert tile % btn == 0 and xn_perm.shape[0] % tile == 0, \
+            (tile, btn, xn_perm.shape)
+        block = btn // BCAP_LANES
+        nc = xn_perm.shape[0] // block
+        kb = min(max(k_eff + RESCORE_SLACK, 12), nc)
+        minima = bcap_minima(p_perm, qs, xn_perm, tq=tq, tn=tile,
+                             granule=btn, precision=precision,
+                             interpret=interpret)      # (Qpad, nc)
+        neg, bix = jax.lax.top_k(-minima, kb)
+        thr = -neg[:, -1]                              # u-domain
+        if k_eff * block > 1024:
+            best_rd, best_i, overflow = _bcap_rescore_large(
+                pts_padded, xn_padded, qs, bix, k_eff, block, interpret)
+        else:
+            best_rd, best_i = _bcap_rescore(pts_padded, xn_padded, qs,
+                                            bix, k_eff, block)
+            overflow = jnp.zeros((qs.shape[0],), bool)
+        qn = jnp.sum(qs * qs, axis=-1)
+        thr = thr + qn                                 # rdist domain
+        xn_max = jnp.max(jnp.where(jnp.isfinite(xn_padded), xn_padded,
+                                   0.0))
+        err = _proof_err(precision, dim, qn, xn_max)
+        covered = ((kb * block >= n_real)
+                   | (best_rd[:, -1] <= thr - err)) & ~overflow
+        # NaN queries: minima row is NaN -> thr NaN; rescore gives
+        # (+inf, -1) -> covered via the same non-finite clause as bcap
         covered = covered | (~jnp.isfinite(best_rd[:, -1])
                              & ~jnp.isfinite(thr))
         best_rd, best_i = prove_repair(covered, best_rd, best_i)

@@ -703,6 +703,101 @@ def prepare_bcap_planes(pts_padded, xn_padded, tn: int | None = None,
     return v, xn_perm
 
 
+def _bcap_minima_kernel(xn_ref, q_ref, p_ref, out_ref, *, tn: int,
+                        precision: str, granule: int):
+    """Phase A of the two-phase bcap scheme ("bcap2", round 5): per-BLOCK
+    u-domain lane minima streamed straight to HBM — NO working-set
+    scratch, NO extraction passes, NO cross-grid-step dependency, so
+    Mosaic pipelines every step like the structural floor probe (the
+    round-3/4 analyses pinned the capped/bcap shortfall vs that floor on
+    the extraction passes and the cross-step scratch serialization —
+    BENCH_NOTES).  Selection over the minima matrix and the slab rescore
+    happen OUTSIDE the kernel (ops.bruteforce, scheme="bcap2").
+
+    Input contract = the bcap kernel's (``prepare_bcap_planes``:
+    block-interleaved per ``granule`` rows, -2-prescaled, B = granule /
+    128 rows per lane).  Emits out[qtile, nj*LG + g*128 + l] = min of
+    ``u = ‖x‖² − 2q·x`` over original rows [id*B, (id+1)*B) where
+    ``id`` is that output column — contiguous rows, gathered as one
+    slab by the rescore."""
+    L = BCAP_LANES
+    groups = tn // granule
+    nsl = granule // L
+
+    if precision == "high":
+        d = q_ref.shape[1]
+        qh, ql = split_bf16(q_ref[:])
+        ph = p_ref[:, :d]
+        plo = p_ref[:, d:]
+        s = jnp.dot(qh, ph.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(qh, plo.T, preferred_element_type=jnp.float32)
+        s += jnp.dot(ql, ph.T, preferred_element_type=jnp.float32)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.dot(q_ref[:], p_ref[:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+
+    lms = []
+    for g in range(groups):
+        o = g * granule
+        lm_g = xn_ref[:, o:o + L] + s[:, o:o + L]
+        for t in range(1, nsl):
+            lo = o + t * L
+            lm_g = jnp.minimum(lm_g, xn_ref[:, lo:lo + L]
+                               + s[:, lo:lo + L])
+        lms.append(lm_g)
+    out_ref[:] = jnp.concatenate(lms, axis=1) if groups > 1 else lms[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tn", "granule",
+                                             "precision", "interpret"))
+def bcap_minima(points_planes, queries, xn_perm, *, tq: int = 256,
+                tn: int = 8192, granule: int = 2048,
+                precision: str = "high", interpret: bool = False):
+    """Streamed per-block u-domain minima over ``prepare_bcap_planes``
+    outputs: returns (Q, N/B) f32 with B = granule // 128 original rows
+    per column (see ``_bcap_minima_kernel``).  NaN query rows give NaN
+    columns (callers' covered-clause handles them)."""
+    n = xn_perm.shape[0]
+    q, d = queries.shape
+    assert n % tn == 0 and q % tq == 0, (n, tn, q, tq)
+    assert tn % granule == 0 and granule % BCAP_LANES == 0, (tn, granule)
+    LG = (tn // granule) * BCAP_LANES
+    n_chunks = n // tn
+    nc = n_chunks * LG
+    pdim = points_planes.shape[1]
+    kernel = functools.partial(_bcap_minima_kernel, tn=tn,
+                               precision=precision, granule=granule)
+    return pl.pallas_call(
+        kernel,
+        grid=(q // tq, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, tn), lambda qi, nj: (0, nj),
+                         memory_space=pltpu.VMEM),           # xn (permuted)
+            pl.BlockSpec((tq, d), lambda qi, nj: (qi, 0),
+                         memory_space=pltpu.VMEM),           # queries
+            pl.BlockSpec((tn, pdim), lambda qi, nj: (nj, 0),
+                         memory_space=pltpu.VMEM),           # planes
+        ],
+        out_specs=pl.BlockSpec((tq, LG), lambda qi, nj: (qi, nj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, nc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            # no scratch, outputs disjoint per (qi, nj): both grid axes
+            # are truly parallel — nothing for Mosaic to serialize
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d * 4 + q * d * 4 + q * nc * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xn_perm[None, :], queries, points_planes)
+
+
 SUBCHUNK = 128
 
 

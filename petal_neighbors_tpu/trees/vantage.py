@@ -689,6 +689,58 @@ class VantagePointTree:
         self.nodes = {"vantage_point": vp, "radius": radius,
                       "near": near, "far": far}
         self._flat = None        # lazy query flattening (_flatten_for_query)
+        self._kern = None        # lazy fused-kernel tables (_kernel_tables);
+        #                          False = ineligible (NaN rows present)
+
+    def _kernel_tables(self):
+        """Lazy fused-kernel index tables (centered padded points + norms
+        [+ bf16 split planes past the direct-form dim]) for the brute
+        Pallas route — the same preparation BruteForce persists at build
+        (trees/bruteforce.py).  Built once, on the first kernel-routed
+        query.  Returns ``False`` when the corpus holds NaN rows: the
+        kernel never *returns* NaN points (ids -1 past the finite count)
+        while the subtree scans return them with +inf distance when
+        k exceeds the finite count — the scan engines keep that contract,
+        so NaN corpora stay on them."""
+        if self._kern is None:
+            if bool(np.any(np.isnan(np.asarray(self.points)))):
+                self._kern = False
+            else:
+                mu = bf.center_of(self.points)
+                pp, pn = bf.pad_for_pallas(self.points - mu)
+                split = None
+                from ..distance import DIRECT_DIM_MAX
+                if self.dim > DIRECT_DIM_MAX:
+                    from ..ops.pallas.knn_kernel import prepare_split
+                    split = prepare_split(pp)
+                self._kern = (mu, pp, pn, split)
+        return self._kern
+
+    def _kernel_route_ok(self, q: int, k_eff: int) -> bool:
+        """True when the batched query should ride the fused brute
+        kernel instead of the cut-subtree scan engines.
+
+        TPU-first routing decision: the reference's tau-pruning descent
+        (vantage_point_tree.rs:100-130) saves *distance evaluations* on
+        serial hardware, but on TPU the subtree scan pays gather traffic
+        and per-chunk merge passes, while the fused MXU kernel streams
+        every point at matmul rate with the top-k resident in VMEM
+        (ops/pallas/knn_kernel.py).  Measured at BASELINE config2
+        (100k x 2-d, k=10): the kernel route is ~8x the tiled scan
+        on-chip, exact by the same rescore + proof contract the other
+        indexes use.  Past ~2M points at prunable (low) dimension the
+        tree's asymptotics win back; high dim cannot prune, so the
+        kernel serves any size there."""
+        if not (type(self.metric) is Euclidean
+                and self.points.dtype == jnp.float32
+                and 1 <= k_eff <= bf.PALLAS_K_MAX
+                and self.n >= 4096):
+            return False
+        from ..distance import DIRECT_DIM_MAX
+        if self.dim <= DIRECT_DIM_MAX and self.n > 2_097_152:
+            return False
+        from ..ops.pallas.knn_kernel import pallas_available
+        return pallas_available() and self._kernel_tables() is not False
 
     def _flat_tables(self, target: int | None = None):
         if self._flat is None:
@@ -763,11 +815,15 @@ class VantagePointTree:
         observability counters (subtrees surviving the final bound,
         loop chunks processed — SURVEY.md §5).
 
-        ``scheme``: "auto" picks the TILE-SHARED subtree frontier
-        (``_vp_knn_flat_tiled`` — queries locality-sorted, each tile
-        sharing one subtree visit order, min-extraction merge) for
-        low-dim small-k large batches, else the per-query best-first
-        scan; "per_query" / "tiled" force one.
+        ``scheme``: "auto" picks the fused brute-force Pallas kernel
+        (``_kernel_knn`` — the TPU-first route: MXU-rate streaming with
+        the running top-k in VMEM, exact via direct-form rescore; see
+        ``_kernel_route_ok``) whenever eligible, else the TILE-SHARED
+        subtree frontier (``_vp_knn_flat_tiled`` — queries
+        locality-sorted, each tile sharing one subtree visit order,
+        min-extraction merge) for low-dim small-k large batches, else
+        the per-query best-first scan; "kernel" / "per_query" / "tiled"
+        force one.
         """
         qs = check_query_batch(queries, self.dim, self.points.dtype)
         k_eff = min(int(k), self.n)
@@ -775,19 +831,41 @@ class VantagePointTree:
             empty = (jnp.zeros((qs.shape[0], 0), dtype=self.points.dtype),
                      jnp.zeros((qs.shape[0], 0), dtype=jnp.int32))
             return (*empty, {}) if with_stats else empty
-        if scheme not in ("auto", "per_query", "tiled"):
+        if scheme not in ("auto", "kernel", "per_query", "tiled"):
             raise ValueError(f"unknown scheme {scheme!r}")
-        if scheme == "auto":
-            # the tiled scheme trades ~tile-union waste in distance work
-            # for a tile_q-fold smaller member gather; measured on v5e it
-            # wins in the mid-size-batch gather-bound regime (config2
-            # shape, 4k queries: 80.5k vs 58.3k QPS) and only breaks even
-            # at 1k (dispatch-bound) and 10k+ (waste catches up) — see
-            # BENCH_NOTES round 3
-            scheme = ("tiled" if (self.dim <= 8 and k_eff <= 16
-                                  and 2048 <= qs.shape[0] < 8192
-                                  and isinstance(self.metric, Euclidean))
-                      else "per_query")
+        if scheme == "kernel" and not self._kernel_route_ok(qs.shape[0],
+                                                            k_eff):
+            raise ValueError(
+                "scheme='kernel' requires Euclidean f32 data without NaN "
+                f"rows, n >= 4096 and k <= {bf.PALLAS_K_MAX} on a TPU")
+        auto = scheme == "auto"
+        if auto:
+            if not with_stats and self._kernel_route_ok(qs.shape[0], k_eff):
+                # stats callers want pruning counters, which only the
+                # scan engines produce
+                scheme = "kernel"
+            else:
+                # the tiled scheme trades ~tile-union waste in distance
+                # work for a tile_q-fold smaller member gather; measured
+                # on v5e it wins in the mid-size-batch gather-bound
+                # regime (config2 shape, 4k queries: 80.5k vs 58.3k QPS)
+                # and only breaks even at 1k (dispatch-bound) and 10k+
+                # (waste catches up) — see BENCH_NOTES round 3
+                scheme = ("tiled" if (self.dim <= 8 and k_eff <= 16
+                                      and 2048 <= qs.shape[0] < 8192
+                                      and isinstance(self.metric, Euclidean))
+                          else "per_query")
+        if scheme == "kernel":
+            try:
+                return self._kernel_knn(qs, k_eff)
+            except Exception as exc:
+                if not auto:
+                    raise
+                # remote-compile hiccups: fall through to the scan engines
+                bf.warn_pallas_fallback(exc)
+                scheme = ("tiled" if (self.dim <= 8 and k_eff <= 16
+                                      and 2048 <= qs.shape[0] < 8192)
+                          else "per_query")
         if scheme == "tiled":
             trunk_pts, members, anc_t, anc_near, anc_rho = self._flat_tables()
             return _vp_knn_flat_tiled(
@@ -821,6 +899,17 @@ class VantagePointTree:
                           self._far, self.root, qs,
                           jnp.asarray(distance, dtype=self.points.dtype),
                           static=self._static, metric=self.metric, cap=cap)
+
+    def _kernel_knn(self, qs, k_eff: int, interpret: bool = False):
+        """Batched k-NN through the fused brute kernel (one jitted
+        program; exactness by direct-form rescore + the miss proof —
+        ops.bruteforce.knn_pallas_prepadded).  ``interpret`` runs the
+        kernel in Pallas interpret mode (CPU tests)."""
+        mu, pp, pn, split = self._kernel_tables()
+        prec = "highest" if split is None else "high"
+        return bf.knn_pallas_prepadded(pp, pn, qs, k_eff, self.n, mu,
+                                       precision=prec, pts_split=split,
+                                       interpret=interpret)
 
     def _knn(self, qs, k_eff: int, with_stats: bool = False):
         trunk_pts, members, anc_t, anc_near, anc_rho = self._flat_tables()

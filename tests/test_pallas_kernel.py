@@ -664,6 +664,105 @@ class TestBcapScheme:
                     assert xp[dst] == xn[src]
 
 
+class TestBcap2Scheme:
+    """Round-5 two-phase block-capped scheme ("bcap2"): phase A streams
+    per-block u-minima to HBM with no cross-step state
+    (knn_kernel.bcap_minima), phase B selects the kb smallest block
+    minima per query (lax.top_k) and the standard slab rescore + proof
+    + repair certify exactness (knn_pallas_prepadded scheme='bcap2')."""
+
+    def _planes(self, pp, pn, tn, precision):
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            prepare_bcap_planes)
+        return prepare_bcap_planes(pp, pn, tn=tn, precision=precision)
+
+    @pytest.mark.parametrize("precision", ["high", "highest"])
+    @pytest.mark.parametrize("tile_groups", [1, 4])
+    def test_end_to_end_exact(self, rng, precision, tile_groups):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 8192, 32, 96, 10
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        pts[7] = np.nan
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        qs[3] = np.nan
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, precision)
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision=precision,
+            tn=512, interpret=True, scheme="bcap2", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=512 * tile_groups)
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        oi = np.argsort(d2, 1, kind="stable")[:, :k]
+        od = np.take_along_axis(d2, oi, 1)
+        for r in range(q):
+            if np.isnan(qs[r]).any():
+                assert (ii[r] == -1).all() and (dd[r] == np.inf).all()
+                continue
+            np.testing.assert_allclose(dd[r], od[r], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.sort(d2[r][ii[r]]), od[r],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_large_k_route_exact(self, rng):
+        """k * block > 1024 routes through _bcap_rescore_large; results
+        must match the oracle set exactly (distances incl. ties)."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 8192, 16, 32, 300
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        mu = bf.center_of(pts)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts) - mu, tn=512)
+        planes = self._planes(pp, pn, 512, "highest")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, mu, precision="highest",
+            tn=512, interpret=True, scheme="bcap2", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=2048)
+        d2 = np.sqrt((((qs[:, None].astype(np.float64)
+                        - pts[None].astype(np.float64)) ** 2).sum(-1)))
+        od = np.sort(d2, 1)[:, :k]
+        np.testing.assert_allclose(np.asarray(dd), od, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_k_greater_than_n_real(self, rng):
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q = 20, 8, 16
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        planes = self._planes(pp, pn, 512, "highest")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), 10, n, precision="highest", tn=512,
+            interpret=True, scheme="bcap2", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=512)
+        d2 = (((qs[:, None].astype(np.float64)
+                - pts[None].astype(np.float64)) ** 2).sum(-1))
+        oi = np.argsort(d2, 1, kind="stable")[:, :10]
+        assert (np.asarray(ii) == oi).all()
+
+    def test_minima_kernel_matches_reference(self, rng):
+        """bcap_minima column c must equal the min of u over original
+        rows [c*B, (c+1)*B) — checked against a NumPy reduction."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        from petal_neighbors_tpu.ops.pallas.knn_kernel import (
+            BCAP_LANES, bcap_minima, prepare_bcap_planes)
+        n, d, q, tn = 2048, 8, 16, 512
+        B = tn // BCAP_LANES
+        pts = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q, d)).astype(np.float32)
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=tn)
+        p_perm, xn_perm = prepare_bcap_planes(pp, pn, tn=tn,
+                                              precision="highest")
+        m = np.asarray(bcap_minima(p_perm, jnp.asarray(qs), xn_perm,
+                                   tq=16, tn=2048, granule=tn,
+                                   precision="highest", interpret=True))
+        u = (pts * pts).sum(-1)[None, :] - 2.0 * (qs @ pts.T)
+        ref = u.reshape(q, n // B, B).min(-1)
+        np.testing.assert_allclose(m, ref, rtol=1e-4, atol=1e-4)
+
+
 class TestBcapIndexWiring:
     """prepare_euclidean_index(with_bcap=True) must emit planes matching
     prepare_bcap_planes at the bcap tile (the serving index's resident

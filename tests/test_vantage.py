@@ -242,6 +242,46 @@ class TestFlatEngine:
                                    rtol=1e-6, atol=1e-6)
         assert not (np.asarray(i_t) == 5).any()
 
+    def test_kernel_route_matches_oracle(self, rng):
+        """The fused brute-kernel route (round-5 TPU-first config2 path)
+        returns the same set as the scan engines and the f64 oracle.
+        Driven through ``_kernel_knn`` in interpret mode (the public
+        auto-routing only engages on a real TPU — ``_kernel_route_ok``)."""
+        n, q, k = 5000, 200, 10
+        pts = (rng.normal(size=(n, 2)) * 10 + 5).astype(np.float32)
+        qs = (rng.normal(size=(q, 2)) * 10 + 5).astype(np.float32)
+        vp = VantagePointTree.euclidean(pts)
+        d_k, i_k = vp._kernel_knn(np.asarray(qs), k, interpret=True)
+        d_p, i_p = vp.query_batch(qs, k, scheme="per_query")
+        d_k, i_k = np.asarray(d_k), np.asarray(i_k)
+        np.testing.assert_allclose(d_k, np.asarray(d_p),
+                                   rtol=1e-5, atol=1e-5)
+        dd = np.sqrt(((qs[:32, None, :].astype(np.float64)
+                       - pts[None].astype(np.float64)) ** 2).sum(-1))
+        np.testing.assert_allclose(d_k[:32], np.sort(dd, 1)[:, :k],
+                                   rtol=1e-5, atol=1e-5)
+        assert sorted(i_k[0].tolist()) == sorted(np.asarray(i_p)[0].tolist())
+
+    def test_kernel_route_gating(self, rng):
+        """NaN corpora, non-f32 dtypes and tiny corpora never route to
+        the kernel; forcing scheme='kernel' there raises."""
+        pts = rng.normal(size=(4200, 2)).astype(np.float32)
+        qs = rng.normal(size=(8, 2)).astype(np.float32)
+        vp = VantagePointTree.euclidean(pts)
+        # platform-independent refusals (NaN / size / dtype) — on CPU
+        # pallas_available() is already False, so assert the specific
+        # gates directly
+        assert not VantagePointTree.euclidean(
+            pts[:100])._kernel_route_ok(8, 5)        # n < 4096
+        bad = pts.copy()
+        bad[7] = np.nan
+        assert VantagePointTree.euclidean(bad)._kernel_tables() is False
+        with pytest.raises(ValueError, match="unknown scheme"):
+            vp.query_batch(qs, 5, scheme="nonsense")
+        if not vp._kernel_route_ok(8, 5):       # CPU: pallas unavailable
+            with pytest.raises(ValueError, match="kernel"):
+                vp.query_batch(qs, 5, scheme="kernel")
+
     def test_k_equals_n_scans_everything(self, rng):
         """k = n keeps the k-th distance at the true maximum: no subtree
         may be skipped and all n results must come back sorted."""
