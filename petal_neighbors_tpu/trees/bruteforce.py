@@ -62,7 +62,17 @@ class BruteForce:
         probe = check_points_host(points)
         self.metric.validate_dim(probe.shape[1])
         high_dim = probe.shape[1] > DIRECT_DIM_MAX
-        pallas_ok = bf._pallas_eligible(probe, probe[:1], 1, self.metric)
+        # Unlike bf.knn's per-call gate (which keeps low dim on the
+        # direct XLA form to avoid a per-call full-corpus pad), the
+        # index persists its kernel arrays — and the fused kernel beats
+        # the XLA scan at EVERY dim once the corpus justifies a kernel
+        # launch (round-5 receipt: 204.5k vs ~60k QPS at 100k x 2-d
+        # 10k-q batches through the VP route, BENCH_NOTES session 2) —
+        # so the Euclidean kernel branch takes any dim at n >= 4096
+        from ..ops.pallas.knn_kernel import pallas_available as _pa
+        pallas_ok = (type(self.metric) is Euclidean
+                     and np.dtype(probe.dtype) == np.float32
+                     and probe.shape[0] >= 4096 and _pa())
         cosine_kernel_ok = (
             type(self.metric) is Cosine and high_dim
             and bf._pallas_eligible(probe, probe[:1], 1, Euclidean()))
@@ -89,7 +99,7 @@ class BruteForce:
                 probe, bf.pad_granule(d), with_split=with_split)
             self._qpoints = None                   # lazy: _pallas_pts[:n]
             self._cosine_kernel = True
-        elif isinstance(self.metric, Euclidean) and high_dim and pallas_ok:
+        elif isinstance(self.metric, Euclidean) and pallas_ok:
             # HBM discipline for multi-GB corpora: the original stays on
             # host; only DERIVED device arrays are resident (padded
             # centered points + norms [+ bf16 planes under budget]); the

@@ -376,6 +376,49 @@ class TestCosineKernelMode:
         np.testing.assert_allclose(np.asarray(d_xla), od, atol=2e-6)
 
 
+class TestLowDimKernelMode:
+    """Round-5: the Euclidean kernel branch takes ANY dim at n >= 4096
+    (the per-call bf.knn gate still keeps low dim on the direct XLA
+    form — only the plane-persisting index routes low dim through the
+    kernel).  Wiring + exactness in interpret mode."""
+
+    def test_low_dim_index_builds_kernel_arrays_and_is_exact(
+            self, rng, monkeypatch):
+        from functools import partial
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        monkeypatch.setattr(
+            bf, "knn_pallas_prepadded",
+            partial(bf.knn_pallas_prepadded.__wrapped__, interpret=True))
+        pts = (rng.random((5000, 2)) * 10 + 5).astype(np.float32)
+        pts[17] = np.nan
+        qs = (rng.random((48, 2)) * 10 + 5).astype(np.float32)
+        idx = BruteForce.euclidean(pts)
+        assert idx._pallas_pts is not None          # kernel-mode resident
+        d, i = idx.query_batch(qs, 8)
+        assert idx.last_backend == "pallas"
+        i = np.asarray(i)
+        assert not (i == 17).any()                  # NaN row never matches
+        dd = ((pts[None].astype(np.float64)
+               - qs[:, None].astype(np.float64)) ** 2).sum(-1)
+        dd = np.where(np.isnan(dd), np.inf, dd)
+        oi = np.argsort(dd, 1, kind="stable")[:, :8]
+        for r in range(len(qs)):
+            assert set(i[r].tolist()) == set(oi[r].tolist()), r
+        np.testing.assert_allclose(
+            np.asarray(d), np.sqrt(np.take_along_axis(dd, oi, 1)),
+            rtol=1e-5, atol=1e-5)
+
+    def test_small_or_f64_corpus_stays_on_xla(self, rng, monkeypatch):
+        import petal_neighbors_tpu.ops.pallas.knn_kernel as kk
+        monkeypatch.setattr(kk, "pallas_available", lambda: True)
+        small = BruteForce.euclidean(
+            rng.random((100, 2)).astype(np.float32))
+        assert small._pallas_pts is None
+        f64 = BruteForce.euclidean(rng.random((5000, 2)))
+        assert f64._pallas_pts is None
+
+
 class TestKernelModeXlaFallbackNaN:
     """Regression (review finding): the kernel-mode index's resident
     copy zeroes NaN rows (+inf norms).  The XLA fallback must not
