@@ -282,6 +282,26 @@ class TestFlatEngine:
             with pytest.raises(ValueError, match="kernel"):
                 vp.query_batch(qs, 5, scheme="kernel")
 
+    def test_kernel_route_duplicates_and_large_k_gate(self, rng):
+        """Duplicate points keep exact multiplicity through the kernel
+        route; k past PALLAS_K_MAX never routes there (scan engines
+        answer, still exact)."""
+        import petal_neighbors_tpu.ops.bruteforce as bff
+        pts = rng.normal(size=(4600, 2)).astype(np.float32)
+        pts[100:110] = pts[99]                  # 11-way duplicate
+        qs = rng.normal(size=(64, 2)).astype(np.float32)
+        vp = VantagePointTree.euclidean(pts)
+        d_k, i_k = vp._kernel_knn(qs, 12, interpret=True)
+        d_p, _ = vp.query_batch(qs, 12, scheme="per_query")
+        np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_p),
+                                   rtol=1e-5, atol=1e-5)
+        assert not vp._kernel_route_ok(64, bff.PALLAS_K_MAX + 1)
+        assert not vp._kernel_route_ok(64, 0)   # k=0 handled upstream
+        # f64 corpora never route (CPU x64 keeps them f64)
+        vp64 = VantagePointTree.euclidean(pts.astype(np.float64))
+        if vp64.points.dtype != np.float32:     # TPU downcasts; CPU keeps
+            assert not vp64._kernel_route_ok(64, 5)
+
     def test_k_equals_n_scans_everything(self, rng):
         """k = n keeps the k-th distance at the true maximum: no subtree
         may be skipped and all n results must come back sorted."""
