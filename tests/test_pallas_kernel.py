@@ -742,6 +742,29 @@ class TestBcap2Scheme:
         oi = np.argsort(d2, 1, kind="stable")[:, :10]
         assert (np.asarray(ii) == oi).all()
 
+    def test_degenerate_ties_force_repair_and_stay_exact(self, rng):
+        """An all-identical corpus makes every block min equal to the
+        k-th rescored value, so the thr - err proof cannot certify and
+        the compacted repair (or full fallback) must run — results must
+        still be exact (distance 0, k distinct valid ids)."""
+        from petal_neighbors_tpu.ops import bruteforce as bf
+        n, d, q, k = 4096, 8, 32, 5
+        pts = np.broadcast_to(
+            rng.standard_normal((1, d)).astype(np.float32), (n, d)).copy()
+        qs = np.broadcast_to(pts[0], (q, d)).copy()
+        pp, pn = bf.pad_for_pallas(jnp.asarray(pts), tn=512)
+        planes = self._planes(pp, pn, 512, "highest")
+        dd, ii = bf.knn_pallas_prepadded(
+            pp, pn, jnp.asarray(qs), k, n, precision="highest", tn=512,
+            interpret=True, scheme="bcap2", bcap_planes=planes,
+            bcap_tn=512, bcap_tile=512)
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        assert (dd == 0).all()
+        for r in range(q):
+            row = ii[r]
+            assert len(set(row.tolist())) == k
+            assert ((row >= 0) & (row < n)).all()
+
     def test_minima_kernel_matches_reference(self, rng):
         """bcap_minima column c must equal the min of u over original
         rows [c*B, (c+1)*B) — checked against a NumPy reduction."""
